@@ -6,7 +6,11 @@ XLA's host-platform virtual devices (SURVEY.md §4 "Multi-host without a cluster
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the one real TPU chip is reserved for benchmarking, and TPU
+# compiles (~30 s/shape) would dominate test time. Set BRICKMAP_TEST_TPU=1 to
+# opt in to running the suite on real hardware.
+if not os.environ.get("BRICKMAP_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
