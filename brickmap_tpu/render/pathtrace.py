@@ -1,0 +1,209 @@
+"""Bounce-iterated wavefront path tracer.
+
+The reference implements one *frame* as five persistent-thread kernels over a
+2M-ray pool that mixes bounce generations, with atomic counters and queues
+(``kernel.cu:154-346``, SURVEY.md §3.4).  XLA has no dynamic queues, and the
+estimator does not need them: this renderer iterates bounces to completion for a
+full sample wave (one sample per pixel) with masked lanes — the same Monte
+Carlo estimator, restructured for fixed shapes:
+
+  primary_rays  ->  per bounce: [extend -> shade -> NEE shadow connect]
+
+Per bounce there is ONE combined traversal call for extension rays and the
+previous bounce's shadow rays (the reference's ``extend`` + ``connect`` in a
+single lockstep while_loop — fewer total iterations than two calls).
+
+Shading model = the reference's: pure diffuse albedo 1, sun NEE with cone
+sampling + 1e-5 radiance scale (kernel.cu:274-279), cosine-weighted bounce
+(kernel.cu:287-296), miss radiance ``sunsky`` at bounce 0 else ``sky``
+(kernel.cu:316-323), termination after ``max_bounces`` diffuse bounces.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BrickmapConfig
+from ..ops import sunsky as sunsky_mod
+from ..ops.traverse import trace_rays
+from .camera import Camera, primary_rays
+from .sampling import cone_sample, cosine_hemisphere
+
+__all__ = ["render_wave", "Film", "film_init", "film_add", "tonemap"]
+
+
+def film_init(width: int, height: int):
+    """Progressive accumulation buffer: rgb sums + sample count per pixel
+    (the reference's RGBA32F blit buffer, state.h:22, kernel.cu:348-364)."""
+    return {
+        "rgb": jnp.zeros((height * width, 3), jnp.float32),
+        "count": jnp.zeros((height * width,), jnp.float32),
+    }
+
+
+def film_add(film, rgb, count):
+    return {"rgb": film["rgb"] + rgb, "count": film["count"] + count}
+
+
+def tonemap(film, width: int, height: int):
+    """count-normalize + gamma 1/2.2 (blit_onto_framebuffer, kernel.cu:357-362)."""
+    c = jnp.maximum(film["count"][:, None], 1e-8)
+    img = jnp.clip(film["rgb"] / c, 0.0, None) ** (1.0 / 2.2)
+    return jnp.clip(img, 0.0, 1.0).reshape(height, width, 3)
+
+
+def _trace(origins, dirs, scene, cam_brick, cfg: BrickmapConfig):
+    return trace_rays(
+        origins, dirs,
+        scene.index_volume, scene.pool_words, scene.pool_base,
+        cam_brick, cfg.grid, max_iters=cfg.render.max_top_steps
+        + (cfg.render.max_bounces + 2) * cfg.render.max_brick_steps,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height"))
+def render_wave(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
+                width: int, height: int):
+    """Trace one full sample wave (1 spp) and return its film contribution.
+
+    Args:
+      key: PRNG key for this wave.
+      scene: VoxelScene of jnp arrays.
+      camera_arrays: dict with position/direction/right/up float32[3] and
+        focal_distance/lens_radius scalars (traced, so camera moves don't
+        recompile).
+      cam_brick: int32 [3] camera position // 8 for LoD.
+      cfg/width/height: static.
+
+    Returns (delta_rgb [N,3], delta_count [N], requests dict) — add to a Film.
+    """
+    n = width * height
+    render = cfg.render
+
+    k_pix, k_loop = jax.random.split(key)
+
+    # --- primary rays (kernel.cu:154-222), traced-camera variant ----------
+    origin = camera_arrays["position"]
+    cam_dir = camera_arrays["direction"]
+    right = camera_arrays["right"]
+    up2 = camera_arrays["up"]
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    x = (idx % width).astype(jnp.float32)
+    y = (idx // width).astype(jnp.float32)
+    from .sampling import concentric_disk, stratified_2d
+
+    k1, k2 = jax.random.split(k_pix)
+    jitter = stratified_2d(k1, n)
+    px = x - jitter[:, 0]
+    py = y - jitter[:, 1]
+    ni = px / width - 0.5
+    nj = (height - py) / height - 0.5
+    to_focal = cam_dir[None, :] + ni[:, None] * right + nj[:, None] * up2
+    to_focal = to_focal / jnp.linalg.norm(to_focal, axis=1, keepdims=True)
+    converge = origin + (camera_arrays["focal_distance"] * 3.0) * to_focal
+    p_lens = camera_arrays["lens_radius"] * concentric_disk(
+        jax.random.uniform(k2, (n, 2)))
+    origins = (origin[None, :] + right[None, :] * p_lens[:, 0:1]
+               + up2[None, :] * p_lens[:, 1:2])
+    dirs = converge - origins
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+
+    sun_dir = camera_arrays["sun_direction"]
+    cone_ext = sunsky_mod.cone_extent(cfg.sky)
+    eps = cfg.grid.epsilon
+
+    accum = jnp.zeros((n, 3), jnp.float32)
+    throughput = jnp.ones((n, 3), jnp.float32)
+    active = jnp.ones((n,), bool)
+
+    # Shadow rays from the previous bounce, traced jointly with the next
+    # extension wave.
+    sh_o = jnp.zeros((n, 3), jnp.float32)
+    sh_d = jnp.ones((n, 3), jnp.float32)
+    sh_color = jnp.zeros((n, 3), jnp.float32)
+    sh_active = jnp.zeros((n,), bool)
+
+    req_mask = jnp.zeros((n,), bool)
+    req_pos = jnp.zeros((n, 3), jnp.int32)
+
+    for bounce in range(render.max_bounces + 1):
+        k_loop, k_cone, k_bounce = jax.random.split(k_loop, 3)
+
+        # ---- extend + connect in one traversal ----------------------------
+        res = _trace(
+            jnp.concatenate([origins, sh_o], axis=0),
+            jnp.concatenate([dirs, sh_d], axis=0),
+            scene, cam_brick, cfg)
+        ext_hit = res["hit"][:n]
+        ext_t = res["t"][:n]
+        ext_n = res["normal"][:n]
+        sh_hit = res["hit"][n:]
+
+        req_mask = req_mask | (res["request"][:n] & active) \
+            | (res["request"][n:] & sh_active)
+        req_pos = jnp.where((res["request"][:n] & active)[:, None],
+                            res["request_pos"][:n], req_pos)
+        req_pos = jnp.where((res["request"][n:] & sh_active)[:, None],
+                            res["request_pos"][n:], req_pos)
+
+        # ---- previous bounce's shadow connect (kernel.cu:328-346) ---------
+        accum = accum + jnp.where((sh_active & ~sh_hit)[:, None], sh_color, 0.0)
+
+        # ---- shade (kernel.cu:242-325) ------------------------------------
+        miss = active & ~ext_hit
+        miss_rad = sunsky_mod.sunsky(dirs, sun_dir, cfg.sky) if bounce == 0 \
+            else sunsky_mod.sky(dirs, sun_dir, cfg.sky)
+        accum = accum + jnp.where(miss[:, None], throughput * miss_rad, 0.0)
+
+        hit = active & ext_hit
+        hitpoint = origins + dirs * ext_t[:, None] + ext_n * (2.0 * eps)
+
+        # Sun NEE (kernel.cu:274-279)
+        sdir = cone_sample(k_cone, sun_dir, cone_ext, shape=(n,))
+        sun_cos = jnp.sum(ext_n * sdir, axis=1)
+        sh_active = hit & (sun_cos > 0.0)
+        sun_rad = sunsky_mod.sun(sdir, sun_dir, cfg.sky)
+        sh_color = throughput * sun_rad * (sun_cos[:, None] * 1e-5)
+        sh_o = hitpoint
+        sh_d = sdir
+
+        # Diffuse bounce (kernel.cu:281-299); albedo = 1 so throughput is
+        # unchanged (kernel.cu:261-271 keeps color = vec3(1)).
+        if bounce < render.max_bounces:
+            new_dirs = cosine_hemisphere(k_bounce, ext_n)
+            origins = hitpoint
+            dirs = new_dirs
+            active = hit
+        else:
+            active = jnp.zeros_like(active)
+
+    # Final shadow wave for the last bounce.
+    res = _trace(sh_o, sh_d, scene, cam_brick, cfg)
+    accum = accum + jnp.where((sh_active & ~res["hit"])[:, None], sh_color, 0.0)
+    req_mask = req_mask | (res["request"] & sh_active)
+    req_pos = jnp.where((res["request"] & sh_active)[:, None],
+                        res["request_pos"], req_pos)
+
+    count = jnp.ones((n,), jnp.float32)
+    return accum, count, {"mask": req_mask, "pos": req_pos}
+
+
+def camera_arrays_for(camera: Camera, sun_direction, width: int, height: int):
+    """Pack the traced (non-static) camera inputs for :func:`render_wave`."""
+    from .camera import camera_basis
+
+    right, up2 = camera_basis(camera, width, height)
+    d = jnp.asarray(camera.direction, jnp.float32)
+    return {
+        "position": jnp.asarray(camera.position, jnp.float32),
+        "direction": d / jnp.linalg.norm(d),
+        "right": jnp.asarray(right),
+        "up": jnp.asarray(up2),
+        "focal_distance": jnp.float32(camera.focal_distance),
+        "lens_radius": jnp.float32(camera.lens_radius),
+        "sun_direction": jnp.asarray(sun_direction, jnp.float32),
+    }

@@ -1,0 +1,104 @@
+"""End-to-end render smoke + statistical tests on a small terrain world."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brickmap_tpu import scene as scene_mod
+from brickmap_tpu.config import BrickmapConfig, GridConfig, RenderConfig
+from brickmap_tpu.ops import dda_ref, sunsky as ss
+from brickmap_tpu.render import pathtrace
+from brickmap_tpu.render.camera import Camera, primary_rays
+
+CFG = BrickmapConfig(
+    grid=GridConfig(grid_size=128, grid_height=128),
+    render=RenderConfig(width=48, height=32, max_bounces=2, max_top_steps=64),
+)
+W, H = CFG.render.width, CFG.render.height
+
+
+@pytest.fixture(scope="module")
+def world():
+    sc = scene_mod.generate_terrain_scene(CFG.grid, feature_scale=64.0)
+    jsc = scene_mod.VoxelScene(
+        index_volume=jnp.asarray(sc.index_volume),
+        pool_words=jnp.asarray(sc.pool_words),
+        pool_base=jnp.asarray(sc.pool_base),
+    )
+    cam = Camera(position=(20.0, 20.0, 100.0),
+                 direction=tuple(np.array([1.0, 1.0, -0.45])
+                                 / np.linalg.norm([1.0, 1.0, -0.45])))
+    sun = ss.sun_direction_from_position(jnp.asarray([0.05, 0.1]))
+    arrays = pathtrace.camera_arrays_for(cam, sun, W, H)
+    cam_brick = jnp.asarray(cam.brick_position, jnp.int32)
+    return sc, jsc, cam, arrays, cam_brick
+
+
+def test_render_wave_shapes_and_finite(world):
+    _, jsc, _, arrays, cam_brick = world
+    rgb, count, req = pathtrace.render_wave(
+        jax.random.PRNGKey(0), jsc, arrays, cam_brick, CFG, W, H)
+    assert rgb.shape == (W * H, 3)
+    assert np.isfinite(np.asarray(rgb)).all()
+    np.testing.assert_array_equal(np.asarray(count), 1.0)
+    assert not bool(np.asarray(req["mask"]).any())  # fully resident world
+
+
+def test_render_has_sky_and_ground(world):
+    _, jsc, _, arrays, cam_brick = world
+    rgb, _, _ = pathtrace.render_wave(
+        jax.random.PRNGKey(1), jsc, arrays, cam_brick, CFG, W, H)
+    img = np.asarray(rgb).reshape(H, W, 3)
+    top = img[: H // 4].mean()
+    assert top > 0.0  # sky visible looking over the terrain
+    assert img.sum() > 0
+
+
+def test_primary_hit_mask_matches_oracle(world):
+    """bounces=0 sanity: per-pixel hit/miss of jittered primaries must agree
+    with the oracle traced on the same rays."""
+    sc, jsc, cam, arrays, cam_brick = world
+    key = jax.random.PRNGKey(2)
+    o, d, _ = primary_rays(key, cam, W, H)
+    from brickmap_tpu.ops.traverse import trace_rays
+
+    res = trace_rays(o, d, jsc.index_volume, jsc.pool_words, jsc.pool_base,
+                     cam_brick, CFG.grid, max_iters=512)
+    on, dn = np.asarray(o), np.asarray(d)
+    hits = np.asarray(res["hit"])
+    ts = np.asarray(res["t"])
+    cam_np = np.asarray(cam.brick_position, np.int64)
+    for i in range(0, W * H, 37):
+        r = dda_ref.intersect_voxel(on[i], dn[i], sc, CFG.grid, cam_np)
+        assert r.hit == bool(hits[i]), i
+        if r.hit:
+            assert abs(r.distance - float(ts[i])) < 2e-2
+
+
+def test_progressive_accumulation_consistency(world):
+    """Two independent waves agree statistically (same estimator)."""
+    _, jsc, _, arrays, cam_brick = world
+    imgs = []
+    for seed in (10, 11):
+        acc = np.zeros((W * H, 3), np.float32)
+        for s in range(4):
+            rgb, _, _ = pathtrace.render_wave(
+                jax.random.PRNGKey(seed * 100 + s), jsc, arrays, cam_brick,
+                CFG, W, H)
+            acc += np.asarray(rgb)
+        imgs.append(acc / 4)
+    a, b = imgs
+    # Mean image intensity stable across independent sample sets.
+    assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-9) < 0.1
+
+
+def test_film_tonemap(world):
+    _, jsc, _, arrays, cam_brick = world
+    film = pathtrace.film_init(W, H)
+    rgb, count, _ = pathtrace.render_wave(
+        jax.random.PRNGKey(3), jsc, arrays, cam_brick, CFG, W, H)
+    film = pathtrace.film_add(film, rgb, count)
+    img = np.asarray(pathtrace.tonemap(film, W, H))
+    assert img.shape == (H, W, 3)
+    assert (img >= 0).all() and (img <= 1).all()
