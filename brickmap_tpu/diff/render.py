@@ -1,0 +1,147 @@
+"""Differentiable voxel rendering: transmittance compositing along DDA rays.
+
+The reference has no backward pass of any kind; this is the new capability the
+TPU build adds (BASELINE.json config 5): pixel gradients w.r.t. per-voxel
+``occupancy`` (soft opacity in [0,1]) and ``albedo`` (RGB).
+
+Model: a ray visits voxels front-to-back in exact DDA order (same traversal
+semantics as :mod:`brickmap_tpu.ops.traverse`, voxel.cuh:79-133, but over a
+dense float grid).  Each visited voxel contributes
+
+    w_i = T_{i-1} * occ_i,      T_i = T_{i-1} * (1 - occ_i)
+
+and the pixel radiance is ``sum_i w_i * albedo_i * shade_i + T_N * sky``.
+With binary occupancy this reduces exactly to the hard-surface renderer (the
+first solid voxel takes all the weight), which is the parity limit tested
+against the scalar oracle.
+
+Implemented as a ``lax.scan`` over a static step count; gradients flow through
+the per-step gathers (XLA turns them into scatter-adds in the backward pass).
+A fused Pallas forward/backward kernel with the same semantics lives in
+:mod:`brickmap_tpu.pallas` for performance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["composite_rays", "render_image", "l2_loss_and_grads"]
+
+
+def _dda_state(origin, direction):
+    """Unit-voxel DDA setup (shared semantics with ops/traverse)."""
+    pos = jnp.floor(origin).astype(jnp.int32)
+    step = jnp.sign(direction)
+    rdinv = jnp.where(direction == 0.0, 0.0, 1.0 / direction)
+    cb = jnp.where(direction > 0, pos + 1.0, pos.astype(jnp.float32))
+    tmax = jnp.where(direction != 0.0, (cb - origin) * rdinv, 1e6)
+    tdelta = step * rdinv
+    return pos, step.astype(jnp.int32), tmax, tdelta
+
+
+def _sel_axis(tmax):
+    tx, ty, tz = tmax[:, 0], tmax[:, 1], tmax[:, 2]
+    return jnp.where(tx < ty, jnp.where(tx < tz, 0, 2),
+                     jnp.where(ty < tz, 1, 2)).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def composite_rays(origin, direction, occupancy, albedo, background,
+                   max_steps: int = 192):
+    """Alpha-composite rays through a dense voxel grid.
+
+    Args:
+      origin, direction: float32 [N, 3]; the grid occupies
+        [0, X) x [0, Y) x [0, Z) with unit voxels; occupancy is [Z, Y, X],
+        albedo [Z, Y, X, 3] (same z-major layout as the index volume).
+      background: [N, 3] radiance composited behind the grid.
+      max_steps: static DDA step budget.
+
+    Returns (rgb [N, 3], transmittance [N], expected_depth [N]).
+    """
+    nz, ny, nx = occupancy.shape
+    ext = jnp.asarray([nx, ny, nz], jnp.int32)
+    n = origin.shape[0]
+
+    # Clip to the grid AABB (enter at tmin like voxel.cuh:137-155, simplified:
+    # no entry-face epsilon games needed — the compositor is robust to starting
+    # slightly outside because out-of-bounds voxels contribute nothing).
+    box_max = ext.astype(jnp.float32)
+    rd = jnp.where(direction == 0, 0.0, 1.0 / direction)
+    t1 = (0.0 - origin) * rd
+    t2 = (box_max - origin) * rd
+    lo = jnp.minimum(t1, t2)
+    hi = jnp.maximum(t1, t2)
+    lo = jnp.where(direction == 0.0, -jnp.inf, lo)
+    hi = jnp.where(direction == 0.0, jnp.inf, hi)
+    tenter = jnp.maximum(jnp.max(lo, axis=1), 0.0)
+    texit = jnp.min(hi, axis=1)
+    inside_box = jnp.all((origin >= 0) & (origin < box_max), axis=1)
+    valid = (texit > tenter) | inside_box
+
+    start = origin + direction * jnp.where(inside_box, 0.0, tenter + 1e-4)[:, None]
+    pos, stepv, tmax, tdelta = _dda_state(start, direction)
+
+    occ_flat = occupancy.reshape(-1)
+    alb_flat = albedo.reshape(-1, 3)
+
+    def body(carry, _):
+        pos, tmax, trans, rgb, depth, t_entry = carry
+        inb = jnp.all((pos >= 0) & (pos < ext[None, :]), axis=1) & valid
+        pc = jnp.clip(pos, 0, ext[None, :] - 1)
+        flat = (pc[:, 2] * ny + pc[:, 1]) * nx + pc[:, 0]
+        occ = jnp.clip(jnp.take(occ_flat, flat, axis=0), 0.0, 1.0)
+        alb = jnp.take(alb_flat, flat, axis=0)
+        occ = jnp.where(inb, occ, 0.0)
+
+        axis = _sel_axis(tmax)
+        onehot = (jnp.arange(3, dtype=jnp.int32)[None, :] == axis[:, None])
+        t_exit = jnp.take_along_axis(tmax, axis[:, None], 1)[:, 0]
+
+        w = trans * occ
+        rgb = rgb + w[:, None] * alb
+        mid_t = 0.5 * (t_entry + t_exit)
+        depth = depth + w * mid_t
+        trans = trans * (1.0 - occ)
+
+        pos = pos + jnp.where(onehot, stepv, 0)
+        tmax = tmax + jnp.where(onehot, tdelta, 0.0)
+        return (pos, tmax, trans, rgb, depth, t_exit), None
+
+    init = (pos, tmax,
+            jnp.ones((n,), jnp.float32),
+            jnp.zeros((n, 3), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32))
+    (pos, tmax, trans, rgb, depth, _), _ = jax.lax.scan(
+        body, init, None, length=max_steps)
+
+    rgb = rgb + trans[:, None] * background
+    # Depth accumulated in start-local t; shift by the clip distance weighted
+    # by total opacity (sum of weights = 1 - trans).
+    depth = depth + (1.0 - trans) * jnp.where(inside_box, 0.0, tenter)
+    return rgb, trans, depth
+
+
+def render_image(camera_origin, camera_rays, occupancy, albedo, background,
+                 max_steps: int = 192):
+    """Convenience wrapper: [H*W] rays -> rgb image terms."""
+    return composite_rays(camera_origin, camera_rays, occupancy, albedo,
+                          background, max_steps=max_steps)
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def l2_loss_and_grads(origin, direction, occupancy, albedo, background,
+                      target, max_steps: int = 192):
+    """L2 image loss and gradients w.r.t. (occupancy, albedo)."""
+
+    def loss_fn(occ, alb):
+        rgb, _, _ = composite_rays(origin, direction, occ, alb, background,
+                                   max_steps=max_steps)
+        return jnp.mean((rgb - target) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(occupancy, albedo)
+    return loss, grads

@@ -64,23 +64,15 @@ def _trace(origins, dirs, scene, cam_brick, cfg: BrickmapConfig):
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "width", "height"))
-def render_wave(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
-                width: int, height: int):
-    """Trace one full sample wave (1 spp) and return its film contribution.
+def wave_for_indices(key, idx, scene, camera_arrays, cam_brick,
+                     cfg: BrickmapConfig, width: int, height: int):
+    """Trace one sample wave for an explicit pixel-index array ``idx`` [M].
 
-    Args:
-      key: PRNG key for this wave.
-      scene: VoxelScene of jnp arrays.
-      camera_arrays: dict with position/direction/right/up float32[3] and
-        focal_distance/lens_radius scalars (traced, so camera moves don't
-        recompile).
-      cam_brick: int32 [3] camera position // 8 for LoD.
-      cfg/width/height: static.
-
-    Returns (delta_rgb [N,3], delta_count [N], requests dict) — add to a Film.
+    The core of :func:`render_wave`; also the shard body for multi-chip
+    rendering (each device passes its own pixel-index slice, see
+    brickmap_tpu.parallel).  Returns (rgb [M,3], count [M], requests).
     """
-    n = width * height
+    n = idx.shape[0]
     render = cfg.render
 
     k_pix, k_loop = jax.random.split(key)
@@ -91,7 +83,6 @@ def render_wave(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
     right = camera_arrays["right"]
     up2 = camera_arrays["up"]
 
-    idx = jnp.arange(n, dtype=jnp.int32)
     x = (idx % width).astype(jnp.float32)
     y = (idx // width).astype(jnp.float32)
     from .sampling import concentric_disk, stratified_2d
@@ -190,6 +181,27 @@ def render_wave(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
 
     count = jnp.ones((n,), jnp.float32)
     return accum, count, {"mask": req_mask, "pos": req_pos}
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height"))
+def render_wave(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
+                width: int, height: int):
+    """Trace one full sample wave (1 spp for every pixel).
+
+    Args:
+      key: PRNG key for this wave.
+      scene: VoxelScene of jnp arrays.
+      camera_arrays: dict with position/direction/right/up float32[3] and
+        focal_distance/lens_radius scalars (traced, so camera moves don't
+        recompile); see :func:`camera_arrays_for`.
+      cam_brick: int32 [3] camera position // 8 for LoD.
+      cfg/width/height: static.
+
+    Returns (delta_rgb [N,3], delta_count [N], requests dict) — add to a Film.
+    """
+    idx = jnp.arange(width * height, dtype=jnp.int32)
+    return wave_for_indices(key, idx, scene, camera_arrays, cam_brick, cfg,
+                            width, height)
 
 
 def camera_arrays_for(camera: Camera, sun_direction, width: int, height: int):

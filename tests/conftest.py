@@ -6,16 +6,21 @@ XLA's host-platform virtual devices (SURVEY.md §4 "Multi-host without a cluster
 
 import os
 
-# Force CPU: the one real TPU chip is reserved for benchmarking, and TPU
-# compiles (~30 s/shape) would dominate test time. Set BRICKMAP_TEST_TPU=1 to
-# opt in to running the suite on real hardware.
-if not os.environ.get("BRICKMAP_TEST_TPU"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Force CPU: the one real TPU chip is reserved for benchmarking, and TPU
+# compiles (~30 s/shape) would dominate test time. The axon sitecustomize
+# overrides the JAX_PLATFORMS env var programmatically, so the config must be
+# updated after import. Set BRICKMAP_TEST_TPU=1 to opt in to real hardware.
+if not os.environ.get("BRICKMAP_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
