@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Driver benchmark: prints ONE JSON line with the headline metric.
+
+Headline: Mrays/s per chip, forward path tracing at 1080p, 3 bounces, over the
+reference's 9 scripted viewpoints on the simplex-terrain world (BASELINE.md).
+Extra fields: fwd+bwd differentiable-render throughput and per-view stats.
+
+Usage: python bench.py [--small] [--views N] [--waves N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="small world + resolution (smoke test)")
+    ap.add_argument("--waves", type=int, default=2)
+    ap.add_argument("--skip-bwd", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from brickmap_tpu import scene as scene_mod
+    from brickmap_tpu.app.benchmark import run_forward_benchmark
+    from brickmap_tpu.config import BrickmapConfig, GridConfig, RenderConfig
+
+    if args.small:
+        cfg = BrickmapConfig(
+            grid=GridConfig(grid_size=1024, grid_height=256),
+            render=RenderConfig(width=640, height=360, max_bounces=3,
+                                max_top_steps=768),
+        )
+        scale = 1024.0 / 4096.0
+        tag = "small"
+    else:
+        cfg = BrickmapConfig(
+            grid=GridConfig(),
+            render=RenderConfig(width=1920, height=1080, max_bounces=3,
+                                max_top_steps=2048),
+        )
+        scale = 1.0
+        tag = "full"
+
+    os.makedirs(CACHE, exist_ok=True)
+    cache_path = os.path.join(CACHE, f"scene_{tag}.npz")
+    t0 = time.time()
+    if os.path.exists(cache_path):
+        sc = scene_mod.load_scene(cache_path)
+        print(f"scene loaded from cache in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+    else:
+        sc = scene_mod.generate_terrain_scene(cfg.grid)
+        scene_mod.save_scene(cache_path, sc)
+        print(f"scene generated in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    jsc = scene_mod.VoxelScene(
+        index_volume=jnp.asarray(sc.index_volume),
+        pool_words=jnp.asarray(sc.pool_words),
+        pool_base=jnp.asarray(sc.pool_base),
+    )
+    print(f"pool: {sc.pool_words.shape[0]} bricks "
+          f"({sc.pool_words.nbytes/1e6:.0f} MB)", file=sys.stderr)
+
+    fwd = run_forward_benchmark(jsc, cfg, waves_per_view=args.waves,
+                                scale=scale, verbose=True)
+
+    # fwd+bwd: differentiable render + gradient step at the same resolution
+    # over a dense grid (config 5 scale).
+    fwd_bwd_mrays = None
+    if not args.skip_bwd:
+        from brickmap_tpu.diff.render import l2_loss_and_grads
+
+        rng = np.random.default_rng(0)
+        occ = jnp.asarray(rng.uniform(0, 1, (64, 64, 64)).astype(np.float32))
+        alb = jnp.asarray(rng.uniform(0, 1, (64, 64, 64, 3)).astype(np.float32))
+        n = cfg.render.width * cfg.render.height
+        dirs = rng.normal(size=(n, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        origins = (np.array([32, 32, 32]) - dirs * 96).astype(np.float32)
+        bg = np.zeros((n, 3), np.float32)
+        tgt = np.full((n, 3), 0.5, np.float32)
+        args_j = (jnp.asarray(origins), jnp.asarray(dirs), occ, alb,
+                  jnp.asarray(bg), jnp.asarray(tgt))
+        out = l2_loss_and_grads(*args_j, max_steps=192)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = l2_loss_and_grads(*args_j, max_steps=192)
+            jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        fwd_bwd_mrays = reps * n / dt / 1e6
+
+    result = {
+        "metric": "Mrays/s/chip fwd path tracing "
+                  f"{cfg.render.width}x{cfg.render.height} "
+                  f"{cfg.render.max_bounces}b, 9-viewpoint avg",
+        "value": round(fwd["mrays_per_s"], 3),
+        "unit": "Mrays/s",
+        "vs_baseline": None,  # reference publishes no numbers (BASELINE.md)
+        "fwd_bwd_mrays_per_s": round(fwd_bwd_mrays, 3) if fwd_bwd_mrays else None,
+        "per_view_mrays": [round(r["mrays_per_s"], 2) for r in fwd["per_view"]],
+        "avg_ms": round(sum(r["avg_ms"] for r in fwd["per_view"])
+                        / len(fwd["per_view"]), 2),
+        "world": tag,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

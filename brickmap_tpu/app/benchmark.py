@@ -1,0 +1,123 @@
+"""Scripted-viewpoint benchmark harness.
+
+Reuses the reference's nine fixed camera positions and yaw/pitch angles
+(``performance_measure.h:4-25``) over the same simplex-noise world for
+like-for-like scene content (BASELINE.md measurement protocol), reporting
+Mrays/s instead of the reference's avg/min/max ms (``performance_measure.cpp:
+82-101`` — those stats are also recorded per viewpoint).
+
+Viewpoint-pinning mirrors ``measure_convergence`` (performance_measure.cpp:
+74-76); the reference has 9 positions but only 8 angle entries (its index 8
+reads out of bounds), so angles wrap modulo 8 here.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BrickmapConfig
+from ..ops import sunsky as ss
+from ..render import pathtrace
+from ..render.camera import Camera
+from ..utils.metrics import FrameTimer
+
+# performance_measure.h:4-14
+TEST_POSITIONS = [
+    (512.0, 512.0, 300.0),
+    (840.254, 832.446, 1169.88),
+    (2227.83, 774.886, 204.955),
+    (3326.19, 2055.72, 44.7995),
+    (7134.6, 1262.44, 5531.79),
+    (11298.6, 3113.03, 598.019),
+    (10921.4, 4774.14, 267.808),
+    (9961.29, 4508.12, 189.59),
+    (10835.3, 4160.83, 359.992),
+]
+
+# performance_measure.h:16-25 (8 entries; wraps for viewpoint 9)
+TEST_ANGLES = [
+    (-61863.5, -0.501796),
+    (-61864.4, -0.429796),
+    (-61863.9, 0.0622036),
+    (-61864.2, -0.981796),
+    (-61865.2, -0.501796),
+    (-61866.3, -0.141796),
+    (-61859.4, 0.0142036),
+    (-61857.2, -0.261796),
+]
+
+SUN_POSITION = (0.05, 0.1)  # variables.cpp:3
+
+
+def benchmark_cameras(scale: float = 1.0):
+    """The nine scripted viewpoints as Camera objects (optionally scaled for
+    smaller worlds)."""
+    cams = []
+    for i, pos in enumerate(TEST_POSITIONS):
+        h, v = TEST_ANGLES[i % len(TEST_ANGLES)]
+        cams.append(Camera.from_angles(
+            tuple(p * scale for p in pos), h, v))
+    return cams
+
+
+def run_forward_benchmark(scene, cfg: BrickmapConfig, *, waves_per_view: int = 2,
+                          warmup_waves: int = 1, scale: float = 1.0,
+                          verbose: bool = True) -> dict:
+    """Path-trace each viewpoint for `waves_per_view` sample waves; return
+    per-viewpoint and aggregate Mrays/s + frame-time stats."""
+    w, h = cfg.render.width, cfg.render.height
+    sun_dir = ss.sun_direction_from_position(jnp.asarray(SUN_POSITION))
+    results = []
+    timer = FrameTimer()
+
+    for vi, cam in enumerate(benchmark_cameras(scale)):
+        arrays = pathtrace.camera_arrays_for(cam, sun_dir, w, h)
+        cam_brick = jnp.asarray(cam.brick_position, jnp.int32)
+        key = jax.random.PRNGKey(vi)
+
+        # Warm-up (compile once; shapes are identical across viewpoints).
+        for i in range(warmup_waves):
+            out = pathtrace.render_frame(jax.random.fold_in(key, 1000 + i),
+                                         scene, arrays, cam_brick, cfg, w, h)
+            jax.block_until_ready(out[0])
+
+        total_rays = 0
+        timer.reset()
+        t0 = time.perf_counter()
+        for i in range(waves_per_view):
+            tw = time.perf_counter()
+            rgb, count, traced, _ = pathtrace.render_frame(
+                jax.random.fold_in(key, i), scene, arrays, cam_brick, cfg,
+                w, h)
+            jax.block_until_ready(rgb)
+            timer.add(time.perf_counter() - tw)
+            total_rays += traced
+        dt = time.perf_counter() - t0
+
+        stats = timer.stats()
+        mrays = total_rays / dt / 1e6
+        results.append({
+            "viewpoint": vi,
+            "mrays_per_s": mrays,
+            "rays": total_rays,
+            "seconds": dt,
+            **stats,
+        })
+        if verbose:
+            print(f"view {vi}: {mrays:8.2f} Mrays/s  "
+                  f"avg {stats['avg_ms']:.1f} ms  fps {stats['fps']:.2f}")
+
+    agg_rays = sum(r["rays"] for r in results)
+    agg_s = sum(r["seconds"] for r in results)
+    return {
+        "per_view": results,
+        "mrays_per_s": agg_rays / agg_s / 1e6,
+        "total_rays": agg_rays,
+        "total_seconds": agg_s,
+        "resolution": [w, h],
+        "bounces": cfg.render.max_bounces,
+    }

@@ -40,6 +40,15 @@ BRICK_LOD_SHIFT = 12
 BRICK_LOADED_BIT = 0x8000_0000    # brick payload resident in pool
 BRICK_UNLOADED_BIT = 0x4000_0000  # brick exists but payload not resident
 BRICK_REQUESTED_BIT = 0x2000_0000  # residency request outstanding
+BRICK_FLAG_BITS = 0xE000_0000     # any of the three state flags above
+
+# TPU extension (bits 28:20, unused by the reference format): for EMPTY cells
+# the index word carries the Chebyshev (L-inf) distance to the nearest
+# non-empty brick cell, enabling empty-space skipping with a single gather per
+# traversal step.  Occupied cells always have a flag bit set; empty cells are
+# word == 0 (unknown distance) or pure distance bits.
+BRICK_DIST_SHIFT = 20
+BRICK_DIST_MASK = 0x1FF0_0000     # 9 bits -> skip radius up to 511 cells
 
 PI = math.pi
 

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..config import (
+    BRICK_FLAG_BITS,
     BRICK_INDEX_BITS,
     BRICK_LOADED_BIT,
     BRICK_LOD_SHIFT,
@@ -177,7 +178,9 @@ def intersect_voxel(origin, direction, scene, grid: GridConfig,
     axis = -1
     for _ in range(4 * (grid.cells + grid.cells + grid.cells_height)):
         word = int(iv[pos[2], pos[1], pos[0]])
-        if word != 0:
+        # Occupied iff a residency flag is set (the reference tests `if(index)`,
+        # voxel.cuh:200; empty cells here carry skip-distance bits instead).
+        if word & BRICK_FLAG_BITS:
             if axis != -1:
                 normal = np.zeros(3, F)
                 normal[axis] = -step[axis]

@@ -13,8 +13,12 @@ The reference's commented-out "restartless" experiment (voxel.cuh:272-479) had
 the same motivation; here it is the natural formulation, because a vectorized
 nested loop would run every inner iteration for every lane.  Each iteration does
 exactly one cell test + one step per ray, at whatever level the ray is in, with
-two O(N) gathers (index word, brick word) that XLA lowers to efficient dynamic
-gathers on TPU.
+two O(N) gathers (index word, brick word).
+
+Layout note: every piece of loop state is a separate [N] array (structure of
+scalar arrays, not [N, 3] vectors).  On TPU an [N, 3] array occupies 3 of 128
+lanes and axis-1 reductions/selects lower terribly; fully componentized state
+keeps every op a dense [N] VPU op (~50x faster in practice on v5e).
 
 Numerics, tie-breaking, LoD selection, epsilon offsets, and the streaming
 request path match the scalar oracle (:mod:`brickmap_tpu.ops.dda_ref`) —
@@ -29,6 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import (
+    BRICK_DIST_SHIFT,
+    BRICK_FLAG_BITS,
     BRICK_INDEX_BITS,
     BRICK_LOADED_BIT,
     BRICK_LOD_SHIFT,
@@ -41,36 +47,39 @@ BIG = 1_000_000.0
 __all__ = ["trace_rays", "aabb_clip"]
 
 
-def _sel_axis(tmax):
+def _sel3(ax, x, y, z):
+    """Component select: value of (x, y, z) at axis index ax (all [N])."""
+    return jnp.where(ax == 0, x, jnp.where(ax == 1, y, z))
+
+
+def _sel4(idx, a0, a1, a2, a3, a4, a5, a6, a7):
+    """8-way select on the low 3 bits of idx (where-tree)."""
+    lo = jnp.where((idx & 1) != 0,
+                   jnp.where((idx & 2) != 0, a3, a1),
+                   jnp.where((idx & 2) != 0, a2, a0))
+    hi = jnp.where((idx & 1) != 0,
+                   jnp.where((idx & 2) != 0, a7, a5),
+                   jnp.where((idx & 2) != 0, a6, a4))
+    return jnp.where((idx & 4) != 0, hi, lo)
+
+
+def _sel_axis(tx, ty, tz):
     """Reference step-axis priority (voxel.cuh:249): x iff strictly smallest,
-    else y iff y<=x and y<z, else z.  tmax: [N, 3] -> [N] int32."""
-    tx, ty, tz = tmax[:, 0], tmax[:, 1], tmax[:, 2]
-    return jnp.where(
-        tx < ty,
-        jnp.where(tx < tz, 0, 2),
-        jnp.where(ty < tz, 1, 2),
-    ).astype(jnp.int32)
-
-
-def _onehot3(axis):
-    return (jnp.arange(3, dtype=jnp.int32)[None, :] == axis[:, None])
-
-
-def _take_axis(v, axis):
-    """v: [N, 3], axis: [N] -> v[n, axis[n]]."""
-    return jnp.take_along_axis(v, axis[:, None], axis=1)[:, 0]
+    else y iff y<=x and y<z, else z."""
+    return jnp.where(tx < ty, jnp.where(tx < tz, 0, 2),
+                     jnp.where(ty < tz, 1, 2)).astype(jnp.int32)
 
 
 def aabb_clip(origin, direction, grid: GridConfig):
     """Slab clip + analytic entry-face normal (voxel.cuh:13-24, 142-155).
 
-    Returns (inside_hit, tminn, clipped_origin, entry_normal); origins advanced
-    to the entry point and nudged inside by epsilon when starting outside.
+    Returns (hit, tminn, clipped_origin [N,3], entry_normal [N,3]); origins
+    advanced to the entry point and nudged inside by epsilon when starting
+    outside.
     """
     box_max = jnp.asarray(grid.world_max, jnp.float32)
-    with jax.numpy_dtype_promotion("standard"):
-        t1 = (0.0 - origin) / direction
-        t2 = (box_max[None, :] - origin) / direction
+    t1 = (0.0 - origin) / direction
+    t2 = (box_max[None, :] - origin) / direction
     tmin3 = jnp.minimum(t1, t2)
     tmax3 = jnp.maximum(t1, t2)
     tminn = jnp.maximum(
@@ -95,20 +104,10 @@ def aabb_clip(origin, direction, grid: GridConfig):
     return hit, tminn, clipped, entry_normal
 
 
-def _dda_init(origin, direction, rdinv):
-    """pos, tmax for a DDA whose cells have unit size in ``origin``'s coords."""
-    pos = jnp.trunc(origin).astype(jnp.int32)
-    cb = jnp.where(direction > 0, pos.astype(jnp.float32) + 1.0,
-                   pos.astype(jnp.float32))
-    tmax = jnp.where(direction != 0.0, (cb - origin) * rdinv,
-                     jnp.float32(BIG))
-    return pos, tmax
-
-
-@partial(jax.jit, static_argnames=("grid", "max_iters", "use_lod"))
+@partial(jax.jit, static_argnames=("grid", "max_iters", "use_lod", "use_ess"))
 def trace_rays(origin, direction, index_volume, pool_words, pool_base,
                camera_brick_pos, grid: GridConfig, max_iters: int = 4096,
-               use_lod: bool = True):
+               use_lod: bool = True, use_ess: bool = True):
     """Trace a batch of rays through the two-level sparse grid.
 
     Args:
@@ -128,49 +127,73 @@ def trace_rays(origin, direction, index_volume, pool_words, pool_base,
     n = origin.shape[0]
     f32, i32 = jnp.float32, jnp.int32
     eps = jnp.float32(grid.epsilon)
-    cells = jnp.asarray([grid.cells, grid.cells, grid.cells_height], i32)
+    bsz = grid.brick_size
+    cx_max, cy_max, cz_max = grid.cells, grid.cells, grid.cells_height
     s = grid.supergrid_cell_size
 
     ok, tminn, clipped, entry_normal = aabb_clip(origin, direction, grid)
 
-    # Brick-grid space (voxel.cuh:157).
-    o_brick = clipped / float(grid.brick_size)
-    d = direction.astype(f32)
-    step_f = jnp.sign(d)
-    step_i = step_f.astype(i32)
-    rdinv = jnp.where(d == 0.0, 0.0, 1.0 / d).astype(f32)
-    tdelta = step_f * rdinv
+    # ---- componentized constants -------------------------------------------
+    ox = clipped[:, 0] / bsz
+    oy = clipped[:, 1] / bsz
+    oz = clipped[:, 2] / bsz
+    dx = direction[:, 0].astype(f32)
+    dy = direction[:, 1].astype(f32)
+    dz = direction[:, 2].astype(f32)
 
-    pos0, tmax0 = _dda_init(o_brick, d, rdinv)
-    out0 = jnp.where(d > 0, cells[None, :], -1).astype(i32)
+    def setup(d):
+        stepf = jnp.sign(d)
+        rd = jnp.where(d == 0.0, 0.0, 1.0 / d).astype(f32)
+        return stepf, stepf.astype(i32), rd, stepf * rd
 
-    inside = jnp.all((pos0 >= 0) & (pos0 < cells[None, :]), axis=1)
-    active = ok & inside
+    sfx, six, rdx, tdx = setup(dx)
+    sfy, siy, rdy, tdy = setup(dy)
+    sfz, siz, rdz, tdz = setup(dz)
 
-    cam = jnp.asarray(camera_brick_pos, i32)
+    def dda_init(o, d, rd):
+        p = jnp.trunc(o).astype(i32)
+        cb = jnp.where(d > 0, p.astype(f32) + 1.0, p.astype(f32))
+        t = jnp.where(d != 0.0, (cb - o) * rd, jnp.float32(BIG))
+        return p, t
+
+    px, tx = dda_init(ox, dx, rdx)
+    py, ty = dda_init(oy, dy, rdy)
+    pz, tz = dda_init(oz, dz, rdz)
+    outx = jnp.where(dx > 0, cx_max, -1)
+    outy = jnp.where(dy > 0, cy_max, -1)
+    outz = jnp.where(dz > 0, cz_max, -1)
+
+    inside = ((px >= 0) & (px < cx_max) & (py >= 0) & (py < cy_max)
+              & (pz >= 0) & (pz < cz_max))
+    active0 = ok & inside
+
+    camx, camy, camz = (jnp.asarray(camera_brick_pos, i32)[k] for k in range(3))
 
     iv_flat = index_volume.reshape(-1)
     pw_flat = pool_words.reshape(-1)
-    cx, cy = grid.cells, grid.cells
+
+    enx, eny, enz = (entry_normal[:, k].astype(f32) for k in range(3))
+
+    zero_f = jnp.zeros(n, f32)
+    zero_i = jnp.zeros(n, i32)
 
     state = dict(
         it=jnp.int32(0),
-        active=active,
-        level=jnp.zeros(n, i32),
-        pos0=pos0, tmax0=tmax0,
+        active=active0, level=zero_i,
+        px=px, py=py, pz=pz, tx=tx, ty=ty, tz=tz,
         axis0=jnp.full(n, -1, i32),
-        norm=entry_normal.astype(f32),       # current normal candidate
-        nd=jnp.zeros(n, f32),                # top-level crossing t at descend
-        poss=jnp.zeros((n, 3), i32),
-        tmaxs=jnp.full((n, 3), BIG, f32),
+        nx=enx, ny=eny, nz=enz,          # current normal candidate
+        nd=zero_f,
+        sx=zero_i, sy=zero_i, sz=zero_i,
+        stx=jnp.full(n, BIG, f32), sty=jnp.full(n, BIG, f32),
+        stz=jnp.full(n, BIG, f32),
         axs=jnp.full(n, -1, i32),
-        gslot=jnp.zeros(n, i32),
-        lodbyte=jnp.zeros(n, i32),
-        hit=jnp.zeros(n, bool),
-        t=jnp.zeros(n, f32),
-        out_normal=jnp.zeros((n, 3), f32),
+        bw=tuple(jnp.zeros(n, jnp.uint32) for _ in range(16)),
+        lodbyte=zero_i,
+        hit=jnp.zeros(n, bool), t=zero_f,
+        onx=zero_f, ony=zero_f, onz=zero_f,
         request=jnp.zeros(n, bool),
-        request_pos=jnp.zeros((n, 3), i32),
+        rqx=zero_i, rqy=zero_i, rqz=zero_i,
     )
 
     def cond(st):
@@ -179,33 +202,42 @@ def trace_rays(origin, direction, index_volume, pool_words, pool_base,
     def body(st):
         active = st["active"]
         level = st["level"]
-        pos0, tmax0, axis0 = st["pos0"], st["tmax0"], st["axis0"]
+        px, py, pz = st["px"], st["py"], st["pz"]
+        tx, ty, tz = st["tx"], st["ty"], st["tz"]
+        axis0 = st["axis0"]
 
         # ---- top-level cell fetch -------------------------------------
-        pc = jnp.clip(pos0, 0, cells[None, :] - 1)
-        flat0 = (pc[:, 2] * cy + pc[:, 1]) * cx + pc[:, 0]
-        word = jnp.take(iv_flat, flat0, axis=0)
+        pcx = jnp.clip(px, 0, cx_max - 1)
+        pcy = jnp.clip(py, 0, cy_max - 1)
+        pcz = jnp.clip(pz, 0, cz_max - 1)
+        word = jnp.take(iv_flat, (pcz * cy_max + pcy) * cx_max + pcx, axis=0)
         is_top = (level == 0) & active
-        occ0 = is_top & (word != 0)
+        # Occupied iff a residency flag is set (the reference tests
+        # `if (index)`, voxel.cuh:200; empty cells carry ESS distance bits).
+        occ0 = is_top & ((word & jnp.uint32(BRICK_FLAG_BITS)) != 0)
+        # Chebyshev skip radius for empty cells (scene.chebyshev_distance_field).
+        skip_r = jnp.maximum(
+            ((word >> BRICK_DIST_SHIFT) & jnp.uint32(0x1FF)).astype(i32) - 1, 0)
 
         # Crossing t + face normal of the current top cell (voxel.cuh:200-206).
         entered = axis0 >= 0
-        ax_safe = jnp.maximum(axis0, 0)
-        nd_new = jnp.where(
-            entered, _take_axis(tmax0, ax_safe) - _take_axis(tdelta, ax_safe),
-            0.0)
-        norm_step = -_onehot3(ax_safe).astype(f32) * _take_axis(step_f, ax_safe)[:, None]
-        norm_top = jnp.where(entered[:, None], norm_step, st["norm"])
+        t_ax = _sel3(axis0, tx, ty, tz)
+        td_ax = _sel3(axis0, tdx, tdy, tdz)
+        nd_new = jnp.where(entered, t_ax - td_ax, 0.0)
+        sf_ax = _sel3(axis0, sfx, sfy, sfz)
+        ntx = jnp.where(entered, jnp.where(axis0 == 0, -sf_ax, 0.0), st["nx"])
+        nty = jnp.where(entered, jnp.where(axis0 == 1, -sf_ax, 0.0), st["ny"])
+        ntz = jnp.where(entered, jnp.where(axis0 == 2, -sf_ax, 0.0), st["nz"])
 
         # LoD by squared camera distance in brick units (voxel.cuh:208-215).
-        diff = cam[None, :] - pos0
-        d2 = jnp.sum(diff * diff, axis=1)
+        dxc, dyc, dzc = camx - px, camy - py, camz - pz
+        d2 = dxc * dxc + dyc * dyc + dzc * dzc
         if use_lod:
             far = d2 > grid.lod_distance_8
             mid = (~far) & (d2 > grid.lod_distance_2)
         else:
-            far = jnp.zeros_like(occ0)
-            mid = jnp.zeros_like(occ0)
+            far = jnp.zeros(n, bool)
+            mid = jnp.zeros(n, bool)
         near = ~far & ~mid
         loaded = (word & jnp.uint32(BRICK_LOADED_BIT)) != 0
         unloaded = (word & jnp.uint32(BRICK_UNLOADED_BIT)) != 0
@@ -214,24 +246,28 @@ def trace_rays(origin, direction, index_volume, pool_words, pool_base,
         descend_byte = occ0 & mid
         descend_brick = occ0 & near & loaded
         hit_unloaded = occ0 & near & ~loaded & unloaded
-        # occupied but neither loaded nor unloaded at near LoD: falls through
-        # and steps onward (cannot happen for well-formed scenes).
         top_advance = is_top & ~(hit_far | descend_byte | descend_brick
                                  | hit_unloaded)
 
         # ---- sub-level occupancy test ---------------------------------
+        # Brick words were row-gathered at descend time into 16 [N] registers;
+        # per-step word selection is a log2(16)-deep where-tree (cheap VPU ops)
+        # instead of a per-lane HBM gather per iteration.
         is_sub = (level > 0) & active
-        poss, tmaxs, axs = st["poss"], st["tmaxs"], st["axs"]
-        lin_byte = poss[:, 0] + poss[:, 1] * 2 + poss[:, 2] * 4
-        occ_byte = (st["lodbyte"] >> jnp.clip(lin_byte, 0, 7)) & 1
-        lin_brick = (poss[:, 0] + poss[:, 1] * grid.brick_size
-                     + poss[:, 2] * grid.brick_size ** 2)
-        lin_brick = jnp.clip(lin_brick, 0, grid.brick_size ** 3 - 1)
-        bword = jnp.take(
-            pw_flat,
-            st["gslot"] * grid.cell_members + lin_brick // 32,
-            axis=0)
-        occ_brick = (bword >> (lin_brick % 32).astype(jnp.uint32)) & 1
+        sx, sy, sz = st["sx"], st["sy"], st["sz"]
+        stx, sty, stz = st["stx"], st["sty"], st["stz"]
+        axs = st["axs"]
+        lin_byte = jnp.clip(sx + sy * 2 + sz * 4, 0, 7)
+        occ_byte = (st["lodbyte"] >> lin_byte) & 1
+        lin_brick = jnp.clip(sx + sy * bsz + sz * bsz * bsz, 0, bsz ** 3 - 1)
+        widx = lin_brick // 32
+        bw = st["bw"]
+        sel8 = jnp.where((widx & 8) != 0,
+                         _sel4(widx, bw[8], bw[9], bw[10], bw[11], bw[12],
+                               bw[13], bw[14], bw[15]),
+                         _sel4(widx, bw[0], bw[1], bw[2], bw[3], bw[4],
+                               bw[5], bw[6], bw[7]))
+        occ_brick = (sel8 >> (lin_brick % 32).astype(jnp.uint32)) & 1
         occ_sub = jnp.where(level == 1, occ_byte != 0, occ_brick != 0) & is_sub
 
         sub_hit = occ_sub
@@ -239,109 +275,193 @@ def trace_rays(origin, direction, index_volume, pool_words, pool_base,
 
         # ---- sub hit: distance/normal (voxel.cuh:58-63, 114-119) ------
         s_entered = axs >= 0
-        s_ax = jnp.maximum(axs, 0)
-        sub_t = jnp.where(
-            s_entered, _take_axis(tmaxs, s_ax) - _take_axis(tdelta, s_ax), 0.0)
-        s_norm_step = -_onehot3(s_ax).astype(f32) * _take_axis(step_f, s_ax)[:, None]
-        sub_normal = jnp.where(s_entered[:, None], s_norm_step, st["norm"])
+        st_ax = _sel3(axs, stx, sty, stz)
+        std_ax = _sel3(axs, tdx, tdy, tdz)
+        sub_t = jnp.where(s_entered, st_ax - std_ax, 0.0)
+        ssf_ax = _sel3(axs, sfx, sfy, sfz)
+        snx = jnp.where(s_entered, jnp.where(axs == 0, -ssf_ax, 0.0), st["nx"])
+        sny = jnp.where(s_entered, jnp.where(axs == 1, -ssf_ax, 0.0), st["ny"])
+        snz = jnp.where(s_entered, jnp.where(axs == 2, -ssf_ax, 0.0), st["nz"])
         sub_scale = jnp.where(level == 1, 4.0, 1.0).astype(f32)
-        sub_hit_t = st["nd"] * grid.brick_size + sub_t * sub_scale + tminn
+        sub_hit_t = st["nd"] * bsz + sub_t * sub_scale + tminn
 
         # ---- sub step -------------------------------------------------
-        s_axis = _sel_axis(tmaxs)
-        s_onehot = _onehot3(s_axis)
-        poss_n = poss + jnp.where(s_onehot, step_i, 0)
-        sub_extent = jnp.where(level == 1, 2, grid.brick_size)
-        s_out = jnp.where(d > 0, sub_extent[:, None], -1).astype(i32)
-        s_exited = _take_axis(poss_n, s_axis) == _take_axis(s_out, s_axis)
-        tmaxs_n = tmaxs + jnp.where(s_onehot, tdelta, 0.0)
+        s_axis = _sel_axis(stx, sty, stz)
+        sub_extent = jnp.where(level == 1, 2, bsz)
+        sxn = sx + jnp.where(s_axis == 0, six, 0)
+        syn = sy + jnp.where(s_axis == 1, siy, 0)
+        szn = sz + jnp.where(s_axis == 2, siz, 0)
+        s_out_x = jnp.where(dx > 0, sub_extent, -1)
+        s_out_y = jnp.where(dy > 0, sub_extent, -1)
+        s_out_z = jnp.where(dz > 0, sub_extent, -1)
+        s_exited = (_sel3(s_axis, sxn, syn, szn)
+                    == _sel3(s_axis, s_out_x, s_out_y, s_out_z))
+        stxn = stx + jnp.where(s_axis == 0, tdx, 0.0)
+        styn = sty + jnp.where(s_axis == 1, tdy, 0.0)
+        stzn = stz + jnp.where(s_axis == 2, tdz, 0.0)
 
         ascend = sub_advance & s_exited
 
         # ---- top step (empty cell, or sub-DDA exited) -----------------
+        # Empty-space skipping: with skip radius R >= 1, all cells within
+        # L-inf distance R of the current cell are empty, so jump every axis
+        # by its crossing count up to the first crossing that exits the safe
+        # box (time t_exit = min_a (tmax_a + R*tdelta_a)).  k_a uses the same
+        # tmax/tdelta arithmetic as single stepping, so arrival state matches
+        # sequential DDA to float rounding.
         do_top_step = top_advance | ascend
-        t_axis = _sel_axis(tmax0)
-        t_onehot = _onehot3(t_axis)
-        pos0_n = pos0 + jnp.where(t_onehot, step_i, 0)
-        t_exited = _take_axis(pos0_n, t_axis) == _take_axis(out0, t_axis)
-        tmax0_n = tmax0 + jnp.where(t_onehot, tdelta, 0.0)
+        use_skip = top_advance & ~occ0 & (skip_r >= 1) if use_ess \
+            else jnp.zeros(n, bool)
+        rf = skip_r.astype(f32)
+        t_exit = jnp.minimum(
+            jnp.minimum(jnp.where(dx != 0, tx + rf * tdx, BIG),
+                        jnp.where(dy != 0, ty + rf * tdy, BIG)),
+            jnp.where(dz != 0, tz + rf * tdz, BIG))
+
+        def k_axis(d, t, td):
+            k = jnp.where(
+                d != 0.0,
+                jnp.floor((t_exit - t) / jnp.where(td == 0, 1.0, td))
+                .astype(i32) + 1,
+                0)
+            return jnp.clip(k, 0, skip_r + 1)
+
+        t_axis = _sel_axis(tx, ty, tz)
+        kx1 = jnp.where(t_axis == 0, 1, 0)
+        ky1 = jnp.where(t_axis == 1, 1, 0)
+        kz1 = jnp.where(t_axis == 2, 1, 0)
+        kx = jnp.where(use_skip, k_axis(dx, tx, tdx), kx1)
+        ky = jnp.where(use_skip, k_axis(dy, ty, tdy), ky1)
+        kz = jnp.where(use_skip, k_axis(dz, tz, tdz), kz1)
+        # FP guard: a degenerate skip that moves nowhere falls back to 1 step.
+        stuck = use_skip & (kx + ky + kz == 0)
+        kx = jnp.where(stuck, kx1, kx)
+        ky = jnp.where(stuck, ky1, ky)
+        kz = jnp.where(stuck, kz1, kz)
+
+        pxn = px + six * kx
+        pyn = py + siy * ky
+        pzn = pz + siz * kz
+        txn = tx + kx.astype(f32) * tdx
+        tyn = ty + ky.astype(f32) * tdy
+        tzn = tz + kz.astype(f32) * tdz
+        # Last crossing axis = latest crossing time among stepped axes
+        # (z-priority on ties, mirroring the sequential mask semantics).
+        neg = jnp.float32(-BIG)
+        tlx = jnp.where(kx > 0, txn - tdx, neg)
+        tly = jnp.where(ky > 0, tyn - tdy, neg)
+        tlz = jnp.where(kz > 0, tzn - tdz, neg)
+        t_axis = jnp.where(
+            tlx > tly,
+            jnp.where(tlx > tlz, 0, 2),
+            jnp.where(tly > tlz, 1, 2)).astype(i32)
+        # Out-of-bounds: with jumps the landing cell can overshoot the exact
+        # boundary cell, so test crossing rather than equality.
+        t_exited = (((dx > 0) & (pxn >= cx_max)) | ((dx < 0) & (pxn < 0))
+                    | ((dy > 0) & (pyn >= cy_max)) | ((dy < 0) & (pyn < 0))
+                    | ((dz > 0) & (pzn >= cz_max)) | ((dz < 0) & (pzn < 0)))
         miss = do_top_step & t_exited
 
         # ---- descend setup --------------------------------------------
-        # Byte level: origin*(2) - normal*0.2*eps (voxel.cuh:217);
-        # brick level: origin*(8) - normal*eps (voxel.cuh:224).
-        hitpoint = o_brick + d * nd_new[:, None]
-        sub_o_byte = hitpoint * 2.0 - norm_top * (0.2 * eps)
-        sub_o_brick = hitpoint * float(grid.brick_size) - norm_top * eps
+        # Byte level: hit*(2) - normal*0.2*eps (voxel.cuh:217);
+        # brick level: hit*(8) - normal*eps (voxel.cuh:224).
         descend = descend_byte | descend_brick
-        sub_o = jnp.where(descend_byte[:, None], sub_o_byte, sub_o_brick)
-        poss_d, tmaxs_d = _dda_init(sub_o, d, rdinv)
-        # C trunc-mod of the (possibly negative) local position.
-        dext = jnp.where(descend_byte, 2, grid.brick_size)[:, None]
-        poss_d = poss_d - (poss_d // dext) * dext  # floor-mod
-        # floor-mod == trunc-mod for non-negative pos; negative pos only occurs
-        # epsilon-outside the grid where the cell test fails either way.
+        d_scale = jnp.where(descend_byte, 2.0, float(bsz))
+        n_eps = jnp.where(descend_byte, 0.2 * eps, eps)
+        d_ext = jnp.where(descend_byte, 2, bsz)
 
-        sc_id = (pos0[:, 0] // s + (pos0[:, 1] // s) * grid.supergrid_xy
-                 + (pos0[:, 2] // s) * grid.supergrid_xy ** 2)
-        sc_id = jnp.clip(sc_id, 0, grid.num_superchunks - 1)
+        def descend_axis(o, d, rd, nt):
+            so = (o + d * nd_new) * d_scale - nt * n_eps
+            p = jnp.trunc(so).astype(i32)
+            cb = jnp.where(d > 0, p.astype(f32) + 1.0, p.astype(f32))
+            t = jnp.where(d != 0.0, (cb - so) * rd, jnp.float32(BIG))
+            pl = p - (p // d_ext) * d_ext  # floor-mod (== C trunc-mod for p>=0)
+            return pl, t
+
+        sdx, sdtx = descend_axis(ox, dx, rdx, ntx)
+        sdy, sdty = descend_axis(oy, dy, rdy, nty)
+        sdz, sdtz = descend_axis(oz, dz, rdz, ntz)
+
+        sc_id = jnp.clip(
+            px // s + (py // s) * grid.supergrid_xy
+            + (pz // s) * grid.supergrid_xy ** 2,
+            0, grid.num_superchunks - 1)
         gslot_d = (jnp.take(pool_base, sc_id, axis=0)
                    + (word & jnp.uint32(BRICK_INDEX_BITS)).astype(i32))
+        # Row-gather the descending lanes' brick payloads (64 B contiguous per
+        # lane — far cheaper than per-word scalar gathers every iteration).
+        # Skipped entirely on iterations where no lane descends into a brick.
+        def fetch_rows(_):
+            safe = jnp.where(descend_brick, gslot_d, 0)
+            return jnp.take(pool_words, safe, axis=0)  # [N, 16]
+
+        rows = jax.lax.cond(
+            jnp.any(descend_brick), fetch_rows,
+            lambda _: jnp.zeros((n, grid.cell_members), jnp.uint32), None)
+        bw_new = tuple(
+            jnp.where(descend_brick, rows[:, k], bw[k]) for k in range(16))
 
         # ---- merge state ----------------------------------------------
-        terminal = hit_far | hit_unloaded | sub_hit
+        coarse_hit = hit_far | hit_unloaded
+        terminal = coarse_hit | sub_hit
         new_hit = st["hit"] | terminal
-        new_t = jnp.where(hit_far | hit_unloaded,
-                          nd_new * grid.brick_size + tminn, st["t"])
+        new_t = jnp.where(coarse_hit, nd_new * bsz + tminn, st["t"])
         new_t = jnp.where(sub_hit, sub_hit_t, new_t)
-        new_out_normal = jnp.where((hit_far | hit_unloaded)[:, None],
-                                   norm_top, st["out_normal"])
-        new_out_normal = jnp.where(sub_hit[:, None], sub_normal,
-                                   new_out_normal)
+        new_onx = jnp.where(coarse_hit, ntx, st["onx"])
+        new_ony = jnp.where(coarse_hit, nty, st["ony"])
+        new_onz = jnp.where(coarse_hit, ntz, st["onz"])
+        new_onx = jnp.where(sub_hit, snx, new_onx)
+        new_ony = jnp.where(sub_hit, sny, new_ony)
+        new_onz = jnp.where(sub_hit, snz, new_onz)
 
         new_request = st["request"] | hit_unloaded
-        new_request_pos = jnp.where(hit_unloaded[:, None], pos0,
-                                    st["request_pos"])
+        new_rqx = jnp.where(hit_unloaded, px, st["rqx"])
+        new_rqy = jnp.where(hit_unloaded, py, st["rqy"])
+        new_rqz = jnp.where(hit_unloaded, pz, st["rqz"])
 
         new_active = active & ~terminal & ~miss
         new_level = jnp.where(descend_byte, 1,
                               jnp.where(descend_brick, 2,
                                         jnp.where(ascend, 0, level)))
 
-        new_pos0 = jnp.where(do_top_step[:, None], pos0_n, pos0)
-        new_tmax0 = jnp.where(do_top_step[:, None], tmax0_n, tmax0)
-        new_axis0 = jnp.where(do_top_step, t_axis, axis0)
-
-        new_poss = jnp.where(descend[:, None], poss_d,
-                             jnp.where(sub_advance[:, None], poss_n, poss))
-        new_tmaxs = jnp.where(descend[:, None], tmaxs_d,
-                              jnp.where(sub_advance[:, None], tmaxs_n, tmaxs))
-        new_axs = jnp.where(descend, -1,
-                            jnp.where(sub_advance, s_axis, axs))
-        new_norm = jnp.where(descend[:, None], norm_top, st["norm"])
-        new_nd = jnp.where(descend, nd_new, st["nd"])
-        new_gslot = jnp.where(descend_brick, gslot_d, st["gslot"])
-        new_lodbyte = jnp.where(
-            descend_byte,
-            ((word >> BRICK_LOD_SHIFT) & 0xFF).astype(i32), st["lodbyte"])
-
         return dict(
             it=st["it"] + 1,
             active=new_active, level=new_level,
-            pos0=new_pos0, tmax0=new_tmax0, axis0=new_axis0,
-            norm=new_norm, nd=new_nd,
-            poss=new_poss, tmaxs=new_tmaxs, axs=new_axs,
-            gslot=new_gslot, lodbyte=new_lodbyte,
-            hit=new_hit, t=new_t, out_normal=new_out_normal,
-            request=new_request, request_pos=new_request_pos,
+            px=jnp.where(do_top_step, pxn, px),
+            py=jnp.where(do_top_step, pyn, py),
+            pz=jnp.where(do_top_step, pzn, pz),
+            tx=jnp.where(do_top_step, txn, tx),
+            ty=jnp.where(do_top_step, tyn, ty),
+            tz=jnp.where(do_top_step, tzn, tz),
+            axis0=jnp.where(do_top_step, t_axis, axis0),
+            nx=jnp.where(descend, ntx, st["nx"]),
+            ny=jnp.where(descend, nty, st["ny"]),
+            nz=jnp.where(descend, ntz, st["nz"]),
+            nd=jnp.where(descend, nd_new, st["nd"]),
+            sx=jnp.where(descend, sdx, jnp.where(sub_advance, sxn, sx)),
+            sy=jnp.where(descend, sdy, jnp.where(sub_advance, syn, sy)),
+            sz=jnp.where(descend, sdz, jnp.where(sub_advance, szn, sz)),
+            stx=jnp.where(descend, sdtx, jnp.where(sub_advance, stxn, stx)),
+            sty=jnp.where(descend, sdty, jnp.where(sub_advance, styn, sty)),
+            stz=jnp.where(descend, sdtz, jnp.where(sub_advance, stzn, stz)),
+            axs=jnp.where(descend, -1, jnp.where(sub_advance, s_axis, axs)),
+            bw=bw_new,
+            lodbyte=jnp.where(
+                descend_byte,
+                ((word >> BRICK_LOD_SHIFT) & 0xFF).astype(i32),
+                st["lodbyte"]),
+            hit=new_hit, t=new_t,
+            onx=new_onx, ony=new_ony, onz=new_onz,
+            request=new_request, rqx=new_rqx, rqy=new_rqy, rqz=new_rqz,
         )
 
     final = jax.lax.while_loop(cond, body, state)
     return dict(
         hit=final["hit"],
         t=final["t"],
-        normal=final["out_normal"],
+        normal=jnp.stack([final["onx"], final["ony"], final["onz"]], axis=1),
         request=final["request"],
-        request_pos=final["request_pos"],
+        request_pos=jnp.stack([final["rqx"], final["rqy"], final["rqz"]],
+                              axis=1),
         iters=final["it"],
     )

@@ -71,15 +71,18 @@ def render_wave_sharded(mesh: Mesh, key, scene, camera_arrays, cam_brick,
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P()),
-        out_specs=(P(axis), P(axis), {"mask": P(axis), "pos": P(axis)}),
+        out_specs=(P(axis), P(axis),
+                   {"mask": P(axis), "pos": P(axis), "traced_rays": P()}),
         check_vma=False,
     )
     def shard_body(key, scene, camera_arrays, cam_brick):
         me = jax.lax.axis_index(axis)
         idx = me * local + jnp.arange(local, dtype=jnp.int32)
         k = jax.random.fold_in(key, me)
-        return wave_for_indices(k, idx, scene, camera_arrays, cam_brick,
-                                cfg, width, height)
+        rgb, count, req = wave_for_indices(
+            k, idx, scene, camera_arrays, cam_brick, cfg, width, height)
+        req = dict(req, traced_rays=jax.lax.psum(req["traced_rays"], axis))
+        return rgb, count, req
 
     return shard_body(key, scene, camera_arrays, cam_brick)
 

@@ -120,10 +120,12 @@ def wave_for_indices(key, idx, scene, camera_arrays, cam_brick,
 
     req_mask = jnp.zeros((n,), bool)
     req_pos = jnp.zeros((n, 3), jnp.int32)
+    traced = jnp.zeros((), jnp.int32)  # active traversal lanes (rays/s metric)
 
     for bounce in range(render.max_bounces + 1):
         k_loop, k_cone, k_bounce = jax.random.split(k_loop, 3)
 
+        traced = traced + jnp.sum(active) + jnp.sum(sh_active)
         # ---- extend + connect in one traversal ----------------------------
         res = _trace(
             jnp.concatenate([origins, sh_o], axis=0),
@@ -151,6 +153,12 @@ def wave_for_indices(key, idx, scene, camera_arrays, cam_brick,
         accum = accum + jnp.where(miss[:, None], throughput * miss_rad, 0.0)
 
         hit = active & ext_hit
+        # Degenerate case: ray starts inside an occupied cell -> traversal
+        # reports a hit at t=0 with a zero normal (the reference leaves the
+        # normal stale, kernel.cu:200 / voxel.cuh:202). Fall back to the
+        # reversed ray direction so the bounce basis stays finite.
+        n_len2 = jnp.sum(ext_n * ext_n, axis=1, keepdims=True)
+        ext_n = jnp.where(n_len2 > 0.0, ext_n, -dirs)
         hitpoint = origins + dirs * ext_t[:, None] + ext_n * (2.0 * eps)
 
         # Sun NEE (kernel.cu:274-279)
@@ -173,6 +181,7 @@ def wave_for_indices(key, idx, scene, camera_arrays, cam_brick,
             active = jnp.zeros_like(active)
 
     # Final shadow wave for the last bounce.
+    traced = traced + jnp.sum(sh_active)
     res = _trace(sh_o, sh_d, scene, cam_brick, cfg)
     accum = accum + jnp.where((sh_active & ~res["hit"])[:, None], sh_color, 0.0)
     req_mask = req_mask | (res["request"] & sh_active)
@@ -180,7 +189,8 @@ def wave_for_indices(key, idx, scene, camera_arrays, cam_brick,
                         res["request_pos"], req_pos)
 
     count = jnp.ones((n,), jnp.float32)
-    return accum, count, {"mask": req_mask, "pos": req_pos}
+    return accum, count, {"mask": req_mask, "pos": req_pos,
+                          "traced_rays": traced}
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
@@ -202,6 +212,47 @@ def render_wave(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
     idx = jnp.arange(width * height, dtype=jnp.int32)
     return wave_for_indices(key, idx, scene, camera_arrays, cam_brick, cfg,
                             width, height)
+
+
+_jit_wave = jax.jit(wave_for_indices, static_argnames=("cfg", "width", "height"))
+
+
+def render_frame(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
+                 width: int, height: int, rays_per_chunk: int = 61440):
+    """One sample wave rendered in pixel chunks (separate device programs).
+
+    Chunking bounds per-call device time (long lockstep while_loops over a full
+    frame are fragile through the remote-TPU tunnel) and lets chunks whose rays
+    all terminate early exit their loops sooner than a whole-frame batch would.
+
+    Returns (rgb [N, 3], count [N], traced_rays int, requests list of (x,y,z)).
+    """
+    import numpy as np
+
+    n = width * height
+    rays_per_chunk = min(rays_per_chunk, n)
+    rgb_parts, count_parts, reqs = [], [], []
+    traced = 0
+    for c, start in enumerate(range(0, n, rays_per_chunk)):
+        stop = min(start + rays_per_chunk, n)
+        # Equal chunk shapes avoid recompiles; final partial chunk wraps.
+        idx = jnp.arange(stop - rays_per_chunk, stop, dtype=jnp.int32) \
+            if stop - start < rays_per_chunk \
+            else jnp.arange(start, stop, dtype=jnp.int32)
+        rgb, count, req = _jit_wave(
+            jax.random.fold_in(key, c), idx, scene, camera_arrays, cam_brick,
+            cfg, width, height)
+        if stop - start < rays_per_chunk:
+            keep = rays_per_chunk - (stop - start)
+            rgb, count = rgb[keep:], count[keep:]
+        rgb_parts.append(rgb)
+        count_parts.append(count)
+        traced += int(req["traced_rays"])
+        mask = np.asarray(req["mask"])
+        if mask.any():
+            reqs.extend(map(tuple, np.asarray(req["pos"])[mask]))
+    return (jnp.concatenate(rgb_parts), jnp.concatenate(count_parts),
+            traced, reqs)
 
 
 def camera_arrays_for(camera: Camera, sun_direction, width: int, height: int):

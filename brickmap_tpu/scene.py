@@ -137,6 +137,38 @@ def _pack_layer(counts: np.ndarray, grid: GridConfig):
     return words, lod, nonempty
 
 
+def chebyshev_distance_field(nonempty: np.ndarray, cap: int = 511) -> np.ndarray:
+    """L-inf distance to the nearest non-empty cell, clamped to ``cap``.
+
+    Computed by iterated 3x3x3 dilation (separable max-filter per axis): a cell
+    first covered at dilation k has distance k.  This is the empty-space-skip
+    radius: all cells within L-inf distance (d-1) of an empty cell with
+    distance d are guaranteed empty.
+    """
+    dist = np.full(nonempty.shape, cap, np.int32)
+    dist[nonempty] = 0
+    cover = nonempty.copy()
+    for k in range(1, cap + 1):
+        if cover.all():
+            break
+        prev = cover
+        # separable 3-wide max filter (dilation) along each axis
+        for ax in range(3):
+            a = cover
+            left = np.zeros_like(a)
+            right = np.zeros_like(a)
+            sl_l = [slice(None)] * 3
+            sl_r = [slice(None)] * 3
+            sl_l[ax] = slice(1, None)
+            sl_r[ax] = slice(None, -1)
+            left[tuple(sl_r)] = a[tuple(sl_l)]
+            right[tuple(sl_l)] = a[tuple(sl_r)]
+            cover = a | left | right
+        newly = cover & ~prev
+        dist[newly] = k
+    return dist
+
+
 def _assemble(grid: GridConfig, layer_words, layer_lod, layer_nonempty,
               residency: str):
     """Build index volume + linear pool from per-layer packed data.
@@ -194,6 +226,10 @@ def _assemble(grid: GridConfig, layer_words, layer_lod, layer_nonempty,
     # slot assigned only once the brick becomes resident.
     packed_slots = slots.astype(np.uint32) if loaded else np.zeros_like(
         slots, dtype=np.uint32)
+    # Empty cells carry the Chebyshev skip distance in bits 28:20 (TPU
+    # extension; the reference leaves those bits zero and tests `if (index)`,
+    # which our traversal refines to `flags != 0`).
+    dist = chebyshev_distance_field(nonempty)
     index_volume = np.where(
         nonempty,
         bits.pack_index_word(
@@ -202,7 +238,7 @@ def _assemble(grid: GridConfig, layer_words, layer_lod, layer_nonempty,
             unloaded=np.full(nonempty.shape, not loaded),
             requested=np.zeros(nonempty.shape, bool),
         ),
-        np.uint32(0),
+        (dist.astype(np.uint32) << 20),
     ).astype(np.uint32)
 
     return index_volume, pool, pool_base
@@ -300,7 +336,7 @@ def load_scene(path: str) -> VoxelScene:
 def scene_summary(scene: VoxelScene, grid: GridConfig) -> dict:
     """Residency statistics — the TPU analog of Scene::dump (Scene.cpp:254-259)."""
     iv = np.asarray(scene.index_volume)
-    nonempty = iv != 0
+    nonempty = (iv & np.uint32(0xE000_0000)) != 0
     loaded = (iv & np.uint32(0x8000_0000)) != 0
     s = grid.supergrid_cell_size
     cz, cy, cx = iv.shape

@@ -14,7 +14,7 @@ def dense_voxel_lookup(sc, grid, x, y, z):
     b = grid.brick_size
     iv = np.asarray(sc.index_volume)
     word = iv[z // b, y // b, x // b]
-    if word == 0 or not (word & 0x80000000):
+    if not (word & 0xE0000000) or not (word & 0x80000000):
         return False
     s = grid.supergrid_cell_size
     sc_id = ((x // b) // s) + ((y // b) // s) * grid.supergrid_xy \
@@ -52,7 +52,7 @@ def test_lod_byte_consistency(rng):
     sc = scene_mod.scene_from_dense(dense, grid)
     iv = np.asarray(sc.index_volume)
     # Check a handful of non-empty bricks: lod byte == coarse occupancy of dense.
-    nz = np.argwhere(iv != 0)
+    nz = np.argwhere((iv & 0xE0000000) != 0)
     for bz, by, bx in nz[:50]:
         blk = dense[bz * 8:(bz + 1) * 8, by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
         expect = int(bits.lod_byte_from_dense(blk[None])[0])
@@ -85,7 +85,7 @@ def test_streaming_residency_init():
     dense[:32] = True
     sc = scene_mod.scene_from_dense(dense, grid, residency="streaming")
     iv = np.asarray(sc.index_volume)
-    nonempty = iv != 0
+    nonempty = (iv & 0xE0000000) != 0
     assert nonempty.any()
     # Reference GPU init: unloaded | lod, never loaded (Scene.cpp:157-164).
     assert not bits.index_is_loaded(iv[nonempty]).any()

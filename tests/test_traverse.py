@@ -196,3 +196,39 @@ def test_vector_requests_streaming(rng):
         assert bool(req[i]) == (r.request is not None)
         if r.request is not None:
             assert tuple(rp[i]) == r.request
+
+
+def test_ess_matches_no_ess(noise_scene, rng):
+    """Empty-space skipping must not change results (hits/t/normals)."""
+    sc, _ = noise_scene
+    n = 128
+    origins = rng.uniform([-10, -10, -10], [138, 138, 138], (n, 3)).astype(np.float32)
+    directions = rng.normal(size=(n, 3)).astype(np.float32)
+    directions /= np.linalg.norm(directions, axis=1, keepdims=True)
+    args = (jnp.asarray(origins), jnp.asarray(directions),
+            jnp.asarray(sc.index_volume), jnp.asarray(sc.pool_words),
+            jnp.asarray(sc.pool_base), jnp.asarray(CAM, jnp.int32))
+    a = trace_rays(*args, GRID, use_ess=True)
+    b = trace_rays(*args, GRID, use_ess=False)
+    np.testing.assert_array_equal(np.asarray(a["hit"]), np.asarray(b["hit"]))
+    np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a["normal"]),
+                               np.asarray(b["normal"]), atol=1e-5)
+    # And strictly fewer loop iterations with skipping.
+    assert int(a["iters"]) <= int(b["iters"])
+
+
+def test_distance_field_conservative(rng):
+    from brickmap_tpu.scene import chebyshev_distance_field
+
+    occ = rng.random((24, 24, 24)) < 0.02
+    occ[4, 5, 6] = True  # ensure non-empty
+    dist = chebyshev_distance_field(occ)
+    assert (dist[occ] == 0).all()
+    zs, ys, xs = np.nonzero(occ)
+    pts = np.stack([zs, ys, xs], 1)
+    for z, y, x in np.argwhere(~occ)[:: max(1, (~occ).sum() // 200)]:
+        d = int(dist[z, y, x])
+        cheb = np.abs(pts - np.array([z, y, x])).max(axis=1).min()
+        assert d == min(cheb, 511), (z, y, x, d, cheb)
