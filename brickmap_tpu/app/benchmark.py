@@ -81,8 +81,8 @@ def run_forward_benchmark(scene, cfg: BrickmapConfig, *, waves_per_view: int = 2
 
         # Warm-up (compile once; shapes are identical across viewpoints).
         for i in range(warmup_waves):
-            out = pathtrace.render_frame(jax.random.fold_in(key, 1000 + i),
-                                         scene, arrays, cam_brick, cfg, w, h)
+            out = pathtrace.render_wave(jax.random.fold_in(key, 1000 + i),
+                                        scene, arrays, cam_brick, cfg, w, h)
             jax.block_until_ready(out[0])
 
         total_rays = 0
@@ -90,12 +90,12 @@ def run_forward_benchmark(scene, cfg: BrickmapConfig, *, waves_per_view: int = 2
         t0 = time.perf_counter()
         for i in range(waves_per_view):
             tw = time.perf_counter()
-            rgb, count, traced, _ = pathtrace.render_frame(
+            rgb, count, req = pathtrace.render_wave(
                 jax.random.fold_in(key, i), scene, arrays, cam_brick, cfg,
                 w, h)
             jax.block_until_ready(rgb)
             timer.add(time.perf_counter() - tw)
-            total_rays += traced
+            total_rays += int(req["traced_rays"])
         dt = time.perf_counter() - t0
 
         stats = timer.stats()

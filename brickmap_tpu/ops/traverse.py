@@ -44,7 +44,7 @@ from ..config import (
 
 BIG = 1_000_000.0
 
-__all__ = ["trace_rays", "aabb_clip"]
+__all__ = ["trace_rays", "trace_rays_blocked", "aabb_clip"]
 
 
 def _sel3(ax, x, y, z):
@@ -465,3 +465,426 @@ def trace_rays(origin, direction, index_volume, pool_words, pool_base,
                               axis=1),
         iters=final["it"],
     )
+
+
+def _sel64(cw, idx):
+    """64-way select from a 64-tuple of [N] arrays by per-lane idx (0..63)."""
+    hi = idx >> 3
+    lo = idx & 7
+    groups = [_sel4(lo, *cw[g * 8:(g + 1) * 8]) for g in range(8)]
+    return _sel4(hi, *groups)
+
+
+@partial(jax.jit,
+         static_argnames=("grid", "max_outer", "inner_steps", "use_lod",
+                          "use_ess"))
+def trace_rays_blocked(origin, direction, index_volume, block_words,
+                       pool_words, pool_base, camera_brick_pos,
+                       grid: GridConfig, max_outer: int = 512,
+                       inner_steps: int = 12, use_lod: bool = True,
+                       use_ess: bool = True):
+    """Block-cached variant of :func:`trace_rays` (same results, same oracle).
+
+    TPU random gathers cost ~15 ns per row regardless of row size, so the
+    traversal is restructured into a nested loop:
+
+    * **outer** iteration: one row-gather of each lane's current 4x4x4 cell
+      block (256 B -> 64 register arrays) and one row-gather of pending brick
+      payloads (64 B -> 16 register arrays) — only if some lane needs them;
+    * **inner** ``fori_loop``: up to ``inner_steps`` pure-VPU DDA steps per
+      lane against the cached block/brick, idling lanes that step out of
+      their cached data until the next outer fetch.
+
+    Gather count per ray approaches the information-theoretic floor (blocks
+    crossed + bricks visited) instead of one full-batch gather per lockstep
+    step.  ``index_volume`` is unused (kept for signature parity) — all cell
+    words come from ``block_words``.
+    """
+    del index_volume
+    n = origin.shape[0]
+    f32, i32 = jnp.float32, jnp.int32
+    eps = jnp.float32(grid.epsilon)
+    bsz = grid.brick_size
+    cx_max, cy_max, cz_max = grid.cells, grid.cells, grid.cells_height
+    s = grid.supergrid_cell_size
+    bb = 4  # block edge (scene.BLOCK)
+    nbx, nby, nbz = -(-cx_max // bb), -(-cy_max // bb), -(-cz_max // bb)
+
+    ok, tminn, clipped, entry_normal = aabb_clip(origin, direction, grid)
+
+    ox = clipped[:, 0] / bsz
+    oy = clipped[:, 1] / bsz
+    oz = clipped[:, 2] / bsz
+    dx = direction[:, 0].astype(f32)
+    dy = direction[:, 1].astype(f32)
+    dz = direction[:, 2].astype(f32)
+
+    def setup(d):
+        stepf = jnp.sign(d)
+        rd = jnp.where(d == 0.0, 0.0, 1.0 / d).astype(f32)
+        return stepf, stepf.astype(i32), rd, stepf * rd
+
+    sfx, six, rdx, tdx = setup(dx)
+    sfy, siy, rdy, tdy = setup(dy)
+    sfz, siz, rdz, tdz = setup(dz)
+
+    def dda_init(o, d, rd):
+        p = jnp.trunc(o).astype(i32)
+        cb = jnp.where(d > 0, p.astype(f32) + 1.0, p.astype(f32))
+        t = jnp.where(d != 0.0, (cb - o) * rd, jnp.float32(BIG))
+        return p, t
+
+    px0, tx0 = dda_init(ox, dx, rdx)
+    py0, ty0 = dda_init(oy, dy, rdy)
+    pz0, tz0 = dda_init(oz, dz, rdz)
+
+    inside = ((px0 >= 0) & (px0 < cx_max) & (py0 >= 0) & (py0 < cy_max)
+              & (pz0 >= 0) & (pz0 < cz_max))
+    active0 = ok & inside
+
+    camx, camy, camz = (jnp.asarray(camera_brick_pos, i32)[k] for k in range(3))
+    enx, eny, enz = (entry_normal[:, k].astype(f32) for k in range(3))
+
+    zero_f = jnp.zeros(n, f32)
+    zero_i = jnp.zeros(n, i32)
+    zero_u = jnp.zeros(n, jnp.uint32)
+
+    state = dict(
+        it=jnp.int32(0),
+        active=active0, level=zero_i,
+        px=px0, py=py0, pz=pz0, tx=tx0, ty=ty0, tz=tz0,
+        axis0=jnp.full(n, -1, i32),
+        nx=enx, ny=eny, nz=enz, nd=zero_f,
+        sx=zero_i, sy=zero_i, sz=zero_i,
+        stx=jnp.full(n, BIG, f32), sty=jnp.full(n, BIG, f32),
+        stz=jnp.full(n, BIG, f32),
+        axs=jnp.full(n, -1, i32),
+        lodbyte=zero_i,
+        cblk=jnp.full(n, -1, i32),
+        cw=tuple(zero_u for _ in range(64)),
+        pend=jnp.zeros(n, bool), pgslot=zero_i,
+        bw=tuple(zero_u for _ in range(16)),
+        hit=jnp.zeros(n, bool), t=zero_f,
+        onx=zero_f, ony=zero_f, onz=zero_f,
+        request=jnp.zeros(n, bool),
+        rqx=zero_i, rqy=zero_i, rqz=zero_i,
+    )
+
+    def outer_cond(st):
+        return jnp.logical_and(st["it"] < max_outer, jnp.any(st["active"]))
+
+    def inner_body(_, st):
+        active = st["active"]
+        level = st["level"]
+        px, py, pz = st["px"], st["py"], st["pz"]
+        tx, ty, tz = st["tx"], st["ty"], st["tz"]
+        axis0 = st["axis0"]
+
+        # ---- cell word from the cached block --------------------------
+        blk = ((pz // bb) * nby + (py // bb)) * nbx + (px // bb)
+        in_cached = blk == st["cblk"]
+        local = ((pz - (pz // bb) * bb) * bb + (py - (py // bb) * bb)) * bb \
+            + (px - (px // bb) * bb)
+        word = _sel64(st["cw"], jnp.clip(local, 0, bb * bb * bb - 1))
+
+        is_top = (level == 0) & active & in_cached & ~st["pend"]
+        occ0 = is_top & ((word & jnp.uint32(BRICK_FLAG_BITS)) != 0)
+        skip_r = jnp.maximum(
+            ((word >> BRICK_DIST_SHIFT) & jnp.uint32(0x1FF)).astype(i32) - 1,
+            0)
+
+        entered = axis0 >= 0
+        t_ax = _sel3(axis0, tx, ty, tz)
+        td_ax = _sel3(axis0, tdx, tdy, tdz)
+        nd_new = jnp.where(entered, t_ax - td_ax, 0.0)
+        sf_ax = _sel3(axis0, sfx, sfy, sfz)
+        ntx = jnp.where(entered, jnp.where(axis0 == 0, -sf_ax, 0.0), st["nx"])
+        nty = jnp.where(entered, jnp.where(axis0 == 1, -sf_ax, 0.0), st["ny"])
+        ntz = jnp.where(entered, jnp.where(axis0 == 2, -sf_ax, 0.0), st["nz"])
+
+        dxc, dyc, dzc = camx - px, camy - py, camz - pz
+        d2 = dxc * dxc + dyc * dyc + dzc * dzc
+        if use_lod:
+            far = d2 > grid.lod_distance_8
+            mid = (~far) & (d2 > grid.lod_distance_2)
+        else:
+            far = jnp.zeros(n, bool)
+            mid = jnp.zeros(n, bool)
+        near = ~far & ~mid
+        loaded = (word & jnp.uint32(BRICK_LOADED_BIT)) != 0
+        unloaded = (word & jnp.uint32(BRICK_UNLOADED_BIT)) != 0
+
+        hit_far = occ0 & far
+        descend_byte = occ0 & mid
+        want_brick = occ0 & near & loaded       # -> pend, fetched by outer
+        hit_unloaded = occ0 & near & ~loaded & unloaded
+        top_advance = is_top & ~(hit_far | descend_byte | want_brick
+                                 | hit_unloaded)
+
+        # ---- sub-level occupancy --------------------------------------
+        is_sub = (level > 0) & active
+        sx, sy, sz = st["sx"], st["sy"], st["sz"]
+        stx, sty, stz = st["stx"], st["sty"], st["stz"]
+        axs = st["axs"]
+        lin_byte = jnp.clip(sx + sy * 2 + sz * 4, 0, 7)
+        occ_byte = (st["lodbyte"] >> lin_byte) & 1
+        lin_brick = jnp.clip(sx + sy * bsz + sz * bsz * bsz, 0, bsz ** 3 - 1)
+        widx = lin_brick // 32
+        bw = st["bw"]
+        sel8 = jnp.where((widx & 8) != 0,
+                         _sel4(widx, bw[8], bw[9], bw[10], bw[11], bw[12],
+                               bw[13], bw[14], bw[15]),
+                         _sel4(widx, bw[0], bw[1], bw[2], bw[3], bw[4],
+                               bw[5], bw[6], bw[7]))
+        occ_brick = (sel8 >> (lin_brick % 32).astype(jnp.uint32)) & 1
+        occ_sub = jnp.where(level == 1, occ_byte != 0, occ_brick != 0) & is_sub
+
+        sub_hit = occ_sub
+        sub_advance = is_sub & ~occ_sub
+
+        s_entered = axs >= 0
+        st_ax = _sel3(axs, stx, sty, stz)
+        std_ax = _sel3(axs, tdx, tdy, tdz)
+        sub_t = jnp.where(s_entered, st_ax - std_ax, 0.0)
+        ssf_ax = _sel3(axs, sfx, sfy, sfz)
+        snx = jnp.where(s_entered, jnp.where(axs == 0, -ssf_ax, 0.0), st["nx"])
+        sny = jnp.where(s_entered, jnp.where(axs == 1, -ssf_ax, 0.0), st["ny"])
+        snz = jnp.where(s_entered, jnp.where(axs == 2, -ssf_ax, 0.0), st["nz"])
+        sub_scale = jnp.where(level == 1, 4.0, 1.0).astype(f32)
+        sub_hit_t = st["nd"] * bsz + sub_t * sub_scale + tminn
+
+        s_axis = _sel_axis(stx, sty, stz)
+        sub_extent = jnp.where(level == 1, 2, bsz)
+        sxn = sx + jnp.where(s_axis == 0, six, 0)
+        syn = sy + jnp.where(s_axis == 1, siy, 0)
+        szn = sz + jnp.where(s_axis == 2, siz, 0)
+        s_out_x = jnp.where(dx > 0, sub_extent, -1)
+        s_out_y = jnp.where(dy > 0, sub_extent, -1)
+        s_out_z = jnp.where(dz > 0, sub_extent, -1)
+        s_exited = (_sel3(s_axis, sxn, syn, szn)
+                    == _sel3(s_axis, s_out_x, s_out_y, s_out_z))
+        stxn = stx + jnp.where(s_axis == 0, tdx, 0.0)
+        styn = sty + jnp.where(s_axis == 1, tdy, 0.0)
+        stzn = stz + jnp.where(s_axis == 2, tdz, 0.0)
+
+        ascend = sub_advance & s_exited
+
+        # ---- top step / ESS jump --------------------------------------
+        do_top_step = top_advance | ascend
+        use_skip = top_advance & ~occ0 & (skip_r >= 1) if use_ess \
+            else jnp.zeros(n, bool)
+        rf = skip_r.astype(f32)
+        t_exit = jnp.minimum(
+            jnp.minimum(jnp.where(dx != 0, tx + rf * tdx, BIG),
+                        jnp.where(dy != 0, ty + rf * tdy, BIG)),
+            jnp.where(dz != 0, tz + rf * tdz, BIG))
+
+        def k_axis(d, t, td):
+            k = jnp.where(
+                d != 0.0,
+                jnp.floor((t_exit - t) / jnp.where(td == 0, 1.0, td))
+                .astype(i32) + 1,
+                0)
+            return jnp.clip(k, 0, skip_r + 1)
+
+        t_axis = _sel_axis(tx, ty, tz)
+        kx1 = jnp.where(t_axis == 0, 1, 0)
+        ky1 = jnp.where(t_axis == 1, 1, 0)
+        kz1 = jnp.where(t_axis == 2, 1, 0)
+        kx = jnp.where(use_skip, k_axis(dx, tx, tdx), kx1)
+        ky = jnp.where(use_skip, k_axis(dy, ty, tdy), ky1)
+        kz = jnp.where(use_skip, k_axis(dz, tz, tdz), kz1)
+        stuck = use_skip & (kx + ky + kz == 0)
+        kx = jnp.where(stuck, kx1, kx)
+        ky = jnp.where(stuck, ky1, ky)
+        kz = jnp.where(stuck, kz1, kz)
+
+        pxn = px + six * kx
+        pyn = py + siy * ky
+        pzn = pz + siz * kz
+        txn = tx + kx.astype(f32) * tdx
+        tyn = ty + ky.astype(f32) * tdy
+        tzn = tz + kz.astype(f32) * tdz
+        neg = jnp.float32(-BIG)
+        tlx = jnp.where(kx > 0, txn - tdx, neg)
+        tly = jnp.where(ky > 0, tyn - tdy, neg)
+        tlz = jnp.where(kz > 0, tzn - tdz, neg)
+        t_axis = jnp.where(
+            tlx > tly,
+            jnp.where(tlx > tlz, 0, 2),
+            jnp.where(tly > tlz, 1, 2)).astype(i32)
+        t_exited = (((dx > 0) & (pxn >= cx_max)) | ((dx < 0) & (pxn < 0))
+                    | ((dy > 0) & (pyn >= cy_max)) | ((dy < 0) & (pyn < 0))
+                    | ((dz > 0) & (pzn >= cz_max)) | ((dz < 0) & (pzn < 0)))
+        miss = do_top_step & t_exited
+
+        # ---- descend setup --------------------------------------------
+        descend = descend_byte | want_brick
+        d_scale = jnp.where(descend_byte, 2.0, float(bsz))
+        n_eps = jnp.where(descend_byte, 0.2 * eps, eps)
+        d_ext = jnp.where(descend_byte, 2, bsz)
+
+        def descend_axis(o, d, rd, nt):
+            so = (o + d * nd_new) * d_scale - nt * n_eps
+            p = jnp.trunc(so).astype(i32)
+            cb = jnp.where(d > 0, p.astype(f32) + 1.0, p.astype(f32))
+            t = jnp.where(d != 0.0, (cb - so) * rd, jnp.float32(BIG))
+            pl = p - (p // d_ext) * d_ext
+            return pl, t
+
+        sdx, sdtx = descend_axis(ox, dx, rdx, ntx)
+        sdy, sdty = descend_axis(oy, dy, rdy, nty)
+        sdz, sdtz = descend_axis(oz, dz, rdz, ntz)
+
+        sc_id = jnp.clip(
+            px // s + (py // s) * grid.supergrid_xy
+            + (pz // s) * grid.supergrid_xy ** 2,
+            0, grid.num_superchunks - 1)
+        gslot_d = (jnp.take(pool_base, sc_id, axis=0)
+                   + (word & jnp.uint32(BRICK_INDEX_BITS)).astype(i32))
+
+        # ---- merge ----------------------------------------------------
+        coarse_hit = hit_far | hit_unloaded
+        terminal = coarse_hit | sub_hit
+        new_t = jnp.where(coarse_hit, nd_new * bsz + tminn, st["t"])
+        new_t = jnp.where(sub_hit, sub_hit_t, new_t)
+        new_onx = jnp.where(coarse_hit, ntx, st["onx"])
+        new_ony = jnp.where(coarse_hit, nty, st["ony"])
+        new_onz = jnp.where(coarse_hit, ntz, st["onz"])
+        new_onx = jnp.where(sub_hit, snx, new_onx)
+        new_ony = jnp.where(sub_hit, sny, new_ony)
+        new_onz = jnp.where(sub_hit, snz, new_onz)
+
+        return dict(
+            st,
+            active=active & ~terminal & ~miss,
+            level=jnp.where(descend_byte, 1, jnp.where(ascend, 0, level)),
+            px=jnp.where(do_top_step, pxn, px),
+            py=jnp.where(do_top_step, pyn, py),
+            pz=jnp.where(do_top_step, pzn, pz),
+            tx=jnp.where(do_top_step, txn, tx),
+            ty=jnp.where(do_top_step, tyn, ty),
+            tz=jnp.where(do_top_step, tzn, tz),
+            axis0=jnp.where(do_top_step, t_axis, axis0),
+            nx=jnp.where(descend, ntx, st["nx"]),
+            ny=jnp.where(descend, nty, st["ny"]),
+            nz=jnp.where(descend, ntz, st["nz"]),
+            nd=jnp.where(descend, nd_new, st["nd"]),
+            sx=jnp.where(descend, sdx, jnp.where(sub_advance, sxn, sx)),
+            sy=jnp.where(descend, sdy, jnp.where(sub_advance, syn, sy)),
+            sz=jnp.where(descend, sdz, jnp.where(sub_advance, szn, sz)),
+            stx=jnp.where(descend, sdtx, jnp.where(sub_advance, stxn, stx)),
+            sty=jnp.where(descend, sdty, jnp.where(sub_advance, styn, sty)),
+            stz=jnp.where(descend, sdtz, jnp.where(sub_advance, stzn, stz)),
+            axs=jnp.where(descend, -1, jnp.where(sub_advance, s_axis, axs)),
+            lodbyte=jnp.where(
+                descend_byte,
+                ((word >> BRICK_LOD_SHIFT) & 0xFF).astype(i32),
+                st["lodbyte"]),
+            pend=st["pend"] | want_brick,
+            pgslot=jnp.where(want_brick, gslot_d, st["pgslot"]),
+            hit=st["hit"] | terminal,
+            t=new_t, onx=new_onx, ony=new_ony, onz=new_onz,
+            request=st["request"] | hit_unloaded,
+            rqx=jnp.where(hit_unloaded, px, st["rqx"]),
+            rqy=jnp.where(hit_unloaded, py, st["rqy"]),
+            rqz=jnp.where(hit_unloaded, pz, st["rqz"]),
+        )
+
+    def outer_body(st):
+        active = st["active"]
+        px, py, pz = st["px"], st["py"], st["pz"]
+        pcx = jnp.clip(px, 0, cx_max - 1)
+        pcy = jnp.clip(py, 0, cy_max - 1)
+        pcz = jnp.clip(pz, 0, cz_max - 1)
+        blk = ((pcz // bb) * nby + (pcy // bb)) * nbx + (pcx // bb)
+
+        need_blk = active & (st["level"] == 0) & ~st["pend"] \
+            & (blk != st["cblk"])
+
+        def fetch_blocks(_):
+            safe = jnp.where(need_blk, blk, 0)
+            return jnp.take(block_words, safe, axis=0)  # [N, 64]
+
+        rows = jax.lax.cond(
+            jnp.any(need_blk), fetch_blocks,
+            lambda _: jnp.zeros((n, bb ** 3), jnp.uint32), None)
+        cw = tuple(
+            jnp.where(need_blk, rows[:, k], st["cw"][k]) for k in range(64))
+        cblk = jnp.where(need_blk, blk, st["cblk"])
+
+        pend = st["pend"] & active
+
+        def fetch_bricks(_):
+            safe = jnp.where(pend, st["pgslot"], 0)
+            return jnp.take(pool_words, safe, axis=0)  # [N, 16]
+
+        rows16 = jax.lax.cond(
+            jnp.any(pend), fetch_bricks,
+            lambda _: jnp.zeros((n, grid.cell_members), jnp.uint32), None)
+        bw = tuple(
+            jnp.where(pend, rows16[:, k], st["bw"][k]) for k in range(16))
+
+        st = dict(
+            st, cw=cw, cblk=cblk, bw=bw,
+            level=jnp.where(pend, 2, st["level"]),
+            pend=jnp.zeros(n, bool),
+        )
+        st = jax.lax.fori_loop(0, inner_steps, inner_body, st)
+        return dict(st, it=st["it"] + 1)
+
+    final = jax.lax.while_loop(outer_cond, outer_body, state)
+    return dict(
+        hit=final["hit"],
+        t=final["t"],
+        normal=jnp.stack([final["onx"], final["ony"], final["onz"]], axis=1),
+        request=final["request"],
+        request_pos=jnp.stack([final["rqx"], final["rqy"], final["rqz"]],
+                              axis=1),
+        iters=final["it"],
+    )
+
+
+@partial(jax.jit,
+         static_argnames=("grid", "chunk", "max_outer", "inner_steps",
+                          "use_lod", "use_ess"))
+def trace_rays_chunked(origin, direction, index_volume, block_words,
+                       pool_words, pool_base, camera_brick_pos,
+                       grid: GridConfig, chunk: int = 131072,
+                       max_outer: int = 512, inner_steps: int = 12,
+                       use_lod: bool = True, use_ess: bool = True):
+    """Blocked traversal over ray chunks via an on-device ``lax.map``.
+
+    Very large single batches degrade sharply on v5e (loop state no longer
+    fits the fast path), and separate device calls pay ~60 ms of dispatch
+    through the remote tunnel; mapping fixed-size chunks inside one program
+    keeps per-chunk state small AND amortizes dispatch.  Chunks whose rays all
+    terminate early also exit their while_loop sooner than a monolithic batch.
+    """
+    n = origin.shape[0]
+    if n <= chunk:
+        return trace_rays_blocked(
+            origin, direction, index_volume, block_words, pool_words,
+            pool_base, camera_brick_pos, grid, max_outer=max_outer,
+            inner_steps=inner_steps, use_lod=use_lod, use_ess=use_ess)
+
+    pad = (-n) % chunk
+    if pad:
+        origin = jnp.concatenate([origin, jnp.zeros((pad, 3), origin.dtype)])
+        direction = jnp.concatenate(
+            [direction, jnp.ones((pad, 3), direction.dtype)])
+    c = origin.shape[0] // chunk
+
+    def one(args):
+        o, d = args
+        return trace_rays_blocked(
+            o, d, index_volume, block_words, pool_words, pool_base,
+            camera_brick_pos, grid, max_outer=max_outer,
+            inner_steps=inner_steps, use_lod=use_lod, use_ess=use_ess)
+
+    out = jax.lax.map(one, (origin.reshape(c, chunk, 3),
+                            direction.reshape(c, chunk, 3)))
+    res = {k: v.reshape(-1, *v.shape[2:])[:n] for k, v in out.items()
+           if k != "iters"}
+    res["iters"] = jnp.max(out["iters"])
+    return res

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..config import BrickmapConfig
 from ..ops import sunsky as sunsky_mod
-from ..ops.traverse import trace_rays
+from ..ops.traverse import trace_rays, trace_rays_chunked
 from .camera import Camera, primary_rays
 from .sampling import cone_sample, cosine_hemisphere
 
@@ -56,6 +56,14 @@ def tonemap(film, width: int, height: int):
 
 
 def _trace(origins, dirs, scene, cam_brick, cfg: BrickmapConfig):
+    if scene.block_words is not None:
+        return trace_rays_chunked(
+            origins, dirs,
+            scene.index_volume, scene.block_words, scene.pool_words,
+            scene.pool_base, cam_brick, cfg.grid,
+            chunk=cfg.render.rays_per_chunk,
+            max_outer=cfg.render.max_top_steps,
+        )
     return trace_rays(
         origins, dirs,
         scene.index_volume, scene.pool_words, scene.pool_base,

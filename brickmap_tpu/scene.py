@@ -43,6 +43,11 @@ __all__ = ["VoxelScene", "generate_terrain_scene", "scene_from_dense",
 class VoxelScene:
     """Device-side scene: flat arrays only (a JAX pytree).
 
+    ``block_words`` is a gather-friendly re-tiling of ``index_volume`` into
+    4x4x4 cell blocks (one 256 B row per block): TPU random-gather cost is
+    per-descriptor, not per-byte, so the traversal fetches a whole block per
+    access and steps through it from registers.
+
     ``occupancy`` / ``albedo`` are the optional differentiable fields (soft
     occupancy in [0,1] and RGB albedo per pool voxel); ``None`` for the classic
     binary renderer.
@@ -51,13 +56,14 @@ class VoxelScene:
     index_volume: Array       # uint32 [CZ, CY, CX]
     pool_words: Array         # uint32 [P, cell_members]
     pool_base: Array          # int32  [num_superchunks]
+    block_words: Array | None = None  # uint32 [NB, 64] 4x4x4 blocks
     occupancy: Array | None = None   # float32 [P, 8, 8, 8] (z, y, x) or None
     albedo: Array | None = None      # float32 [P, 8, 8, 8, 3] or None
 
     def tree_flatten(self):
         return (
             (self.index_volume, self.pool_words, self.pool_base,
-             self.occupancy, self.albedo),
+             self.block_words, self.occupancy, self.albedo),
             None,
         )
 
@@ -68,6 +74,40 @@ class VoxelScene:
     @property
     def num_bricks(self) -> int:
         return self.pool_words.shape[0]
+
+
+BLOCK = 4  # cells per block edge for block_words
+
+
+def block_words_from_index(index_volume: np.ndarray) -> np.ndarray:
+    """Re-tile [CZ, CY, CX] index words into [NB, 64] 4x4x4 block rows.
+
+    Block id of cell (cz, cy, cx) is ``((cz//4)*NBY + cy//4)*NBX + cx//4``;
+    the word's row offset is ``(cz%4)*16 + (cy%4)*4 + cx%4``.  Edges pad with
+    zero words (never tested — traversal exits at the grid bounds first).
+    """
+    xp = bits._xp(index_volume)
+    cz, cy, cx = index_volume.shape
+    b = BLOCK
+    nbz, nby, nbx = -(-cz // b), -(-cy // b), -(-cx // b)
+    if (nbz * b, nby * b, nbx * b) != (cz, cy, cx):
+        padded = xp.zeros((nbz * b, nby * b, nbx * b), index_volume.dtype)
+        if xp is np:
+            padded[:cz, :cy, :cx] = index_volume
+        else:
+            padded = padded.at[:cz, :cy, :cx].set(index_volume)
+    else:
+        padded = index_volume
+    r = padded.reshape(nbz, b, nby, b, nbx, b)
+    return r.transpose(0, 2, 4, 1, 3, 5).reshape(nbz * nby * nbx, b * b * b)
+
+
+def with_blocks(scene: "VoxelScene") -> "VoxelScene":
+    """Return the scene with ``block_words`` derived (idempotent)."""
+    if scene.block_words is not None:
+        return scene
+    return dataclasses.replace(
+        scene, block_words=block_words_from_index(np.asarray(scene.index_volume)))
 
 
 def _register_pytree() -> None:
@@ -274,7 +314,8 @@ def generate_terrain_scene(grid: GridConfig, residency: str = "full",
         grid, layer_words, layer_lod, layer_nonempty, residency
     )
     return VoxelScene(index_volume=index_volume, pool_words=pool,
-                      pool_base=pool_base)
+                      pool_base=pool_base,
+                      block_words=block_words_from_index(index_volume))
 
 
 def scene_from_dense(dense: np.ndarray, grid: GridConfig,
@@ -302,7 +343,8 @@ def scene_from_dense(dense: np.ndarray, grid: GridConfig,
         grid, layer_words, layer_lod, layer_nonempty, residency
     )
     return VoxelScene(index_volume=index_volume, pool_words=pool,
-                      pool_base=pool_base)
+                      pool_base=pool_base,
+                      block_words=block_words_from_index(index_volume))
 
 
 # ---------------------------------------------------------------------------
@@ -328,6 +370,7 @@ def load_scene(path: str) -> VoxelScene:
         index_volume=data["index_volume"],
         pool_words=data["pool_words"],
         pool_base=data["pool_base"],
+        block_words=block_words_from_index(data["index_volume"]),
         occupancy=data["occupancy"] if "occupancy" in data else None,
         albedo=data["albedo"] if "albedo" in data else None,
     )

@@ -1,0 +1,154 @@
+"""Streaming residency: request -> upload round trip, growth, invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brickmap_tpu import scene as scene_mod
+from brickmap_tpu.config import GridConfig
+from brickmap_tpu.ops.traverse import trace_rays
+from brickmap_tpu.stream import StreamingScene
+
+GRID = GridConfig(grid_size=128, grid_height=128)
+CAM = np.zeros(3, np.int64)
+
+
+@pytest.fixture(scope="module")
+def truth():
+    dense = np.zeros((128, 128, 128), bool)
+    dense[16:48, 32:96, 32:96] = True
+    return scene_mod.scene_from_dense(dense, GRID)
+
+
+def trace(dev_scene, origins, directions):
+    return trace_rays(
+        jnp.asarray(origins, jnp.float32), jnp.asarray(directions, jnp.float32),
+        dev_scene.index_volume, dev_scene.pool_words, dev_scene.pool_base,
+        jnp.asarray(CAM, jnp.int32), GRID, max_iters=512)
+
+
+def test_round_trip_request_then_resident(truth):
+    mgr = StreamingScene(truth, GRID)
+    origins = np.array([[0.5, 64.0, 30.0]], np.float32)
+    directions = np.array([[1.0, 0.0, 0.0]], np.float32)
+
+    # Frame N: coarse hit + request (voxel.cuh:228-245 semantics).
+    res = trace(mgr.device_scene(), origins, directions)
+    assert bool(res["hit"][0]) and bool(res["request"][0])
+    req = [tuple(np.asarray(res["request_pos"])[0])]
+    assert mgr.process_requests(req) == 1
+
+    # Frame N+1: brick resident -> fine hit at the voxel surface, no request.
+    res2 = trace(mgr.device_scene(), origins, directions)
+    assert bool(res2["hit"][0]) and not bool(res2["request"][0])
+    assert abs(float(res2["t"][0]) - 31.5) < 1e-3
+
+
+def test_progressive_residency_converges_to_truth(truth, rng):
+    """Repeated render->request->upload cycles reach the full-residency image."""
+    mgr = StreamingScene(truth, GRID, queue_size=64)
+    n = 256
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins = (np.array([64, 64, 32]) - dirs * 100).astype(np.float32)
+
+    want = trace(scene_mod.VoxelScene(
+        jnp.asarray(truth.index_volume), jnp.asarray(truth.pool_words),
+        jnp.asarray(truth.pool_base)), origins, dirs)
+
+    for it in range(50):
+        res = trace(mgr.device_scene(), origins, dirs)
+        mask = np.asarray(res["request"])
+        if not mask.any():
+            break
+        reqs = map(tuple, np.asarray(res["request_pos"])[mask])
+        if mgr.process_requests(reqs) == 0:
+            break
+    res = trace(mgr.device_scene(), origins, dirs)
+    np.testing.assert_array_equal(np.asarray(res["hit"]),
+                                  np.asarray(want["hit"]))
+    np.testing.assert_allclose(np.asarray(res["t"]), np.asarray(want["t"]),
+                               atol=1e-3)
+    assert not np.asarray(res["request"]).any()
+
+
+def test_pool_growth_and_dump(truth, rng):
+    mgr = StreamingScene(truth, GRID, starting_capacity=4)
+    # Request 40 distinct surface bricks of the box top (z brick = 5).
+    reqs = [(x, y, 5) for x in range(4, 12) for y in range(4, 9)]
+    done = mgr.process_requests(reqs)
+    assert done == 40
+    assert mgr.capacity[0] >= 40  # grew beyond the starting 4 (pow-2)
+    assert mgr.dump()[0] == 40
+    # All uploaded bricks readable at correct slots.
+    dev = mgr.device_scene()
+    iv = np.asarray(dev.index_volume)
+    for x, y, z in reqs[:5]:
+        w = iv[z, y, x]
+        assert w & 0x80000000
+        slot = int(w & 0xFFF)
+        got = np.asarray(dev.pool_words)[int(np.asarray(dev.pool_base)[0]) + slot]
+        tw = int(np.asarray(truth.index_volume)[z, y, x])
+        texp = np.asarray(truth.pool_words)[
+            int(np.asarray(truth.pool_base)[0]) + (tw & 0xFFF)]
+        np.testing.assert_array_equal(got, texp)
+
+
+def test_queue_cap_drops_overflow(truth):
+    mgr = StreamingScene(truth, GRID, queue_size=8)
+    reqs = [(x, y, 5) for x in range(4, 12) for y in range(4, 9)]  # 40 bricks
+    assert mgr.process_requests(reqs) == 8
+    assert mgr.total_dropped == 32
+    # Retry services the rest (8 per step).
+    total = 8
+    for _ in range(10):
+        total += mgr.process_requests(reqs)
+    assert total == 40
+
+
+def test_surface_only_requests_on_terrain(rng):
+    """README.md:7 invariant: only surface bricks ever get requested from
+    top-down views (interior bricks are occluded at request time)."""
+    grid = GridConfig(grid_size=128, grid_height=128)
+    truth = scene_mod.generate_terrain_scene(grid, feature_scale=64.0)
+    mgr = StreamingScene(truth, grid)
+    n = 400
+    xs = rng.uniform(5, 123, n).astype(np.float32)
+    ys = rng.uniform(5, 123, n).astype(np.float32)
+    origins = np.stack([xs, ys, np.full(n, 120.0, np.float32)], 1)
+    dirs = np.tile(np.array([[0.01, 0.01, -1.0]], np.float32), (n, 1))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    for _ in range(30):
+        res = trace(mgr.device_scene(), origins, dirs)
+        mask = np.asarray(res["request"])
+        if not mask.any():
+            break
+        mgr.process_requests(map(tuple, np.asarray(res["request_pos"])[mask]))
+
+    # No buried brick (all six face neighbors completely solid) can ever be
+    # reached by a ray, hence never requested (README.md:7 by construction).
+    iv = np.asarray(mgr.device_scene().index_volume)
+    loaded = np.argwhere((iv & 0x80000000) != 0)
+    assert len(loaded) > 0
+    full = (np.asarray(truth.pool_words) == 0xFFFFFFFF).all(axis=1)
+    truth_iv = np.asarray(truth.index_volume)
+    base = np.asarray(truth.pool_base)
+
+    def brick_full(z, y, x):
+        w = truth_iv[z, y, x]
+        if not (w & 0x80000000):
+            return False
+        s = GRID.supergrid_cell_size
+        sc = (x // s + (y // s) * grid.supergrid_xy
+              + (z // s) * grid.supergrid_xy ** 2)
+        return bool(full[base[sc] + (int(w) & 0xFFF)])
+
+    cz, cyx = truth_iv.shape[0], truth_iv.shape[1]
+    for z, y, x in loaded:
+        if (0 < z < cz - 1 and 0 < y < cyx - 1 and 0 < x < cyx - 1):
+            buried = all(brick_full(*p) for p in [
+                (z - 1, y, x), (z + 1, y, x), (z, y - 1, x),
+                (z, y + 1, x), (z, y, x - 1), (z, y, x + 1)])
+            assert not buried, f"buried brick {(x, y, z)} became resident"
