@@ -24,8 +24,10 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--small", action="store_true",
-                    help="small world + resolution (smoke test)")
+    ap.add_argument("--full", action="store_true",
+                    help="full 4096^2x512 world at 1920x1080 (slow; default "
+                         "is the 1024-world at 640x360 so the driver bench "
+                         "completes in minutes)")
     ap.add_argument("--waves", type=int, default=2)
     ap.add_argument("--skip-bwd", action="store_true")
     args = ap.parse_args()
@@ -37,7 +39,7 @@ def main() -> None:
     from brickmap_tpu.app.benchmark import run_forward_benchmark
     from brickmap_tpu.config import BrickmapConfig, GridConfig, RenderConfig
 
-    if args.small:
+    if not args.full:
         cfg = BrickmapConfig(
             grid=GridConfig(grid_size=1024, grid_height=256),
             render=RenderConfig(width=640, height=360, max_bounces=3,
@@ -70,6 +72,7 @@ def main() -> None:
         index_volume=jnp.asarray(sc.index_volume),
         pool_words=jnp.asarray(sc.pool_words),
         pool_base=jnp.asarray(sc.pool_base),
+        block_words=jnp.asarray(sc.block_words),
     )
     print(f"pool: {sc.pool_words.shape[0]} bricks "
           f"({sc.pool_words.nbytes/1e6:.0f} MB)", file=sys.stderr)
@@ -95,12 +98,13 @@ def main() -> None:
         args_j = (jnp.asarray(origins), jnp.asarray(dirs), occ, alb,
                   jnp.asarray(bg), jnp.asarray(tgt))
         out = l2_loss_and_grads(*args_j, max_steps=192)
-        jax.block_until_ready(out)
+        float(out[0])  # force completion (block_until_ready is unreliable
+        # through the remote tunnel)
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
             out = l2_loss_and_grads(*args_j, max_steps=192)
-            jax.block_until_ready(out)
+            float(out[0])
         dt = time.perf_counter() - t0
         fwd_bwd_mrays = reps * n / dt / 1e6
 

@@ -19,6 +19,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def _sync(tree) -> float:
+    """Force completion AND confirm it: pull a scalar to the host.
+
+    ``jax.block_until_ready`` does not reliably block through the remote-TPU
+    tunnel, so timing must round-trip a value derived from the result.
+    """
+    leaves = jax.tree_util.tree_leaves(tree)
+    return float(np.asarray(leaves[0]).ravel()[0])
+
 from ..config import BrickmapConfig
 from ..ops import sunsky as ss
 from ..render import pathtrace
@@ -83,7 +93,7 @@ def run_forward_benchmark(scene, cfg: BrickmapConfig, *, waves_per_view: int = 2
         for i in range(warmup_waves):
             out = pathtrace.render_wave(jax.random.fold_in(key, 1000 + i),
                                         scene, arrays, cam_brick, cfg, w, h)
-            jax.block_until_ready(out[0])
+            _sync(out[0])
 
         total_rays = 0
         timer.reset()
@@ -93,7 +103,7 @@ def run_forward_benchmark(scene, cfg: BrickmapConfig, *, waves_per_view: int = 2
             rgb, count, req = pathtrace.render_wave(
                 jax.random.fold_in(key, i), scene, arrays, cam_brick, cfg,
                 w, h)
-            jax.block_until_ready(rgb)
+            _sync(rgb)
             timer.add(time.perf_counter() - tw)
             total_rays += int(req["traced_rays"])
         dt = time.perf_counter() - t0

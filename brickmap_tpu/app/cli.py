@@ -1,0 +1,260 @@
+"""Command-line harness — the TPU build's ``main()``.
+
+The reference's application layer is a GLFW/ImGui interactive loop
+(``main.cpp:26-190``); on a headless TPU host the equivalents are batch
+subcommands:
+
+* ``render``  — progressive path-traced render of a world to PNG
+  (frame loop -> sample-wave loop; camera flags replace WASD).
+* ``bench``   — the 9-viewpoint scripted benchmark (performance_measure.cpp).
+* ``inverse`` — inverse-rendering demo: optimize occupancy+albedo to match
+  target renders (the new differentiable capability).
+* ``info``    — scene statistics (Scene::dump analog).
+
+Run as ``python -m brickmap_tpu <cmd> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_world(args, cfg):
+    from .. import scene as scene_mod
+
+    if getattr(args, "load", None):
+        sc = scene_mod.load_scene(args.load)
+        print(f"loaded {args.load}", file=sys.stderr)
+    else:
+        t0 = time.time()
+        sc = scene_mod.generate_terrain_scene(cfg.grid)
+        print(f"terrain generated in {time.time()-t0:.1f}s", file=sys.stderr)
+    if getattr(args, "save_scene", None):
+        scene_mod.save_scene(args.save_scene, sc)
+    return sc
+
+
+def _to_device(sc):
+    import jax.numpy as jnp
+
+    from .. import scene as scene_mod
+
+    return scene_mod.VoxelScene(
+        index_volume=jnp.asarray(sc.index_volume),
+        pool_words=jnp.asarray(sc.pool_words),
+        pool_base=jnp.asarray(sc.pool_base),
+        block_words=jnp.asarray(sc.block_words) if sc.block_words is not None
+        else None,
+    )
+
+
+def cmd_render(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import BrickmapConfig, GridConfig, RenderConfig
+    from ..ops import sunsky as ss
+    from ..render import pathtrace
+    from ..render.camera import Camera
+    from ..utils.image import write_png
+    from ..utils.metrics import FrameTimer, MetricsLogger
+
+    cfg = BrickmapConfig(
+        grid=GridConfig(grid_size=args.world, grid_height=args.world_height),
+        render=RenderConfig(width=args.width, height=args.height,
+                            max_bounces=args.bounces,
+                            max_top_steps=args.max_steps,
+                            focal_distance=args.focal_distance,
+                            lens_radius=args.lens_radius),
+    )
+    sc = _build_world(args, cfg)
+    jsc = _to_device(sc)
+
+    if args.angles:
+        h, v = args.angles
+        cam = Camera.from_angles(args.camera, h, v,
+                                 focal_distance=args.focal_distance,
+                                 lens_radius=args.lens_radius)
+    else:
+        d = np.asarray(args.look) - np.asarray(args.camera)
+        d = d / np.linalg.norm(d)
+        cam = Camera(position=tuple(args.camera), direction=tuple(d),
+                     focal_distance=args.focal_distance,
+                     lens_radius=args.lens_radius)
+
+    sun = ss.sun_direction_from_position(jnp.asarray(args.sun))
+    arrays = pathtrace.camera_arrays_for(cam, sun, args.width, args.height)
+    cam_brick = jnp.asarray(cam.brick_position, jnp.int32)
+
+    film = pathtrace.film_init(args.width, args.height)
+    timer = FrameTimer()
+    metrics = MetricsLogger(args.metrics, echo=args.verbose)
+    for s in range(args.spp):
+        t0 = time.perf_counter()
+        rgb, count, req = pathtrace.render_wave(
+            jax.random.PRNGKey(args.seed + s), jsc, arrays, cam_brick, cfg,
+            args.width, args.height)
+        film = pathtrace.film_add(film, rgb, count)
+        jax.block_until_ready(film["rgb"])
+        dt = time.perf_counter() - t0
+        timer.add(dt)
+        metrics.log(s, wave_s=dt, traced=int(req["traced_rays"]),
+                    mrays_s=int(req["traced_rays"]) / dt / 1e6)
+        if args.verbose:
+            print(f"wave {s}: {dt*1000:.0f} ms", file=sys.stderr)
+
+    img = np.asarray(pathtrace.tonemap(film, args.width, args.height))
+    write_png(args.out, img)
+    stats = timer.stats()
+    print(json.dumps({"out": args.out, "spp": args.spp, **stats}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from ..config import BrickmapConfig, GridConfig, RenderConfig
+    from .benchmark import run_forward_benchmark
+
+    cfg = BrickmapConfig(
+        grid=GridConfig(grid_size=args.world, grid_height=args.world_height),
+        render=RenderConfig(width=args.width, height=args.height,
+                            max_bounces=args.bounces,
+                            max_top_steps=args.max_steps),
+    )
+    sc = _build_world(args, cfg)
+    jsc = _to_device(sc)
+    out = run_forward_benchmark(jsc, cfg, waves_per_view=args.waves,
+                                scale=args.world / 4096.0)
+    print(json.dumps({k: v for k, v in out.items() if k != "per_view"}))
+    return 0
+
+
+def cmd_inverse(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..diff.render import composite_rays, l2_loss_and_grads
+    from ..utils.image import write_png
+
+    rng = np.random.default_rng(args.seed)
+    g = args.grid
+    # Ground truth: a floating blob of solid voxels with banded albedo.
+    occ_true = np.zeros((g, g, g), np.float32)
+    c = g // 2
+    zz, yy, xx = np.meshgrid(*[np.arange(g)] * 3, indexing="ij")
+    occ_true[(zz - c) ** 2 + (yy - c) ** 2 + (xx - c) ** 2 < (g // 3) ** 2] = 1
+    alb_true = np.stack([
+        0.2 + 0.6 * (zz / g), 0.3 + 0.4 * (yy / g), 0.8 - 0.5 * (xx / g)
+    ], -1).astype(np.float32)
+
+    n = args.rays
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins = (np.array([c, c, c]) - dirs * (2.2 * g)).astype(np.float32)
+    bg = np.zeros((n, 3), np.float32)
+    target, _, _ = composite_rays(
+        jnp.asarray(origins), jnp.asarray(dirs), jnp.asarray(occ_true),
+        jnp.asarray(alb_true), jnp.asarray(bg), max_steps=3 * g)
+
+    occ = jnp.full((g, g, g), 0.3)
+    alb = jnp.full((g, g, g, 3), 0.5)
+    opt = optax.adam(args.lr)
+    state = opt.init((occ, alb))
+    t0 = time.perf_counter()
+    loss0 = None
+    for step in range(args.steps):
+        loss, grads = l2_loss_and_grads(
+            jnp.asarray(origins), jnp.asarray(dirs), occ, alb,
+            jnp.asarray(bg), target, max_steps=3 * g)
+        if loss0 is None:
+            loss0 = float(loss)
+        updates, state = opt.update(grads, state)
+        occ, alb = optax.apply_updates((occ, alb), updates)
+        occ = jnp.clip(occ, 0.0, 1.0)
+        alb = jnp.clip(alb, 0.0, 1.0)
+        if step % 20 == 0:
+            print(f"step {step}: loss {float(loss):.6f}", file=sys.stderr)
+    print(json.dumps({
+        "steps": args.steps, "loss_first": loss0, "loss_final": float(loss),
+        "seconds": time.perf_counter() - t0,
+    }))
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .. import scene as scene_mod
+    from ..config import GridConfig
+
+    sc = scene_mod.load_scene(args.load)
+    cz, cy, cx = sc.index_volume.shape
+    grid = GridConfig(grid_size=cx * 8, grid_height=cz * 8)
+    info = scene_mod.scene_summary(sc, grid)
+    info.pop("per_superchunk_loaded")
+    print(json.dumps(info))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="brickmap_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="path-trace a world to PNG")
+    pr.add_argument("--out", default="render.png")
+    pr.add_argument("--width", type=int, default=960)
+    pr.add_argument("--height", type=int, default=540)
+    pr.add_argument("--spp", type=int, default=8)
+    pr.add_argument("--bounces", type=int, default=3)
+    pr.add_argument("--world", type=int, default=1024)
+    pr.add_argument("--world-height", type=int, default=256)
+    pr.add_argument("--max-steps", type=int, default=512)
+    pr.add_argument("--camera", type=float, nargs=3,
+                    default=[128.0, 128.0, 180.0])
+    pr.add_argument("--look", type=float, nargs=3,
+                    default=[512.0, 512.0, 80.0])
+    pr.add_argument("--angles", type=float, nargs=2, default=None,
+                    help="yaw pitch instead of --look")
+    pr.add_argument("--sun", type=float, nargs=2, default=[0.05, 0.1])
+    pr.add_argument("--focal-distance", type=float, default=1.0)
+    pr.add_argument("--lens-radius", type=float, default=0.0)
+    pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--load", default=None)
+    pr.add_argument("--save-scene", default=None)
+    pr.add_argument("--metrics", default=None)
+    pr.add_argument("--verbose", action="store_true")
+    pr.set_defaults(fn=cmd_render)
+
+    pb = sub.add_parser("bench", help="9-viewpoint scripted benchmark")
+    pb.add_argument("--width", type=int, default=1920)
+    pb.add_argument("--height", type=int, default=1080)
+    pb.add_argument("--bounces", type=int, default=3)
+    pb.add_argument("--world", type=int, default=1024)
+    pb.add_argument("--world-height", type=int, default=256)
+    pb.add_argument("--max-steps", type=int, default=512)
+    pb.add_argument("--waves", type=int, default=2)
+    pb.add_argument("--load", default=None)
+    pb.add_argument("--save-scene", default=None)
+    pb.set_defaults(fn=cmd_bench)
+
+    pi = sub.add_parser("inverse", help="inverse-rendering optimization demo")
+    pi.add_argument("--grid", type=int, default=24)
+    pi.add_argument("--rays", type=int, default=4096)
+    pi.add_argument("--steps", type=int, default=100)
+    pi.add_argument("--lr", type=float, default=0.05)
+    pi.add_argument("--seed", type=int, default=0)
+    pi.set_defaults(fn=cmd_inverse)
+
+    pn = sub.add_parser("info", help="scene statistics")
+    pn.add_argument("load")
+    pn.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

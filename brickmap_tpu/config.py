@@ -150,7 +150,7 @@ class RenderConfig:
     lens_radius: float = 0.0
     # Traversal step caps (static loop bounds for lax.while_loop safety).
     max_top_steps: int = 2048        # top-level DDA steps across the brick grid
-    rays_per_chunk: int = 131072     # on-device lax.map chunking of traversal
+    rays_per_chunk: int = 16384      # on-device lax.map chunking of traversal
     max_brick_steps: int = 22        # 8x8x8 DDA worst case = 3*8 - 2
     max_byte_steps: int = 4          # 2x2x2 DDA worst case = 3*2 - 2
 

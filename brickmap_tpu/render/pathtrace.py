@@ -202,24 +202,146 @@ def wave_for_indices(key, idx, scene, camera_arrays, cam_brick,
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
+def _primary_state(key, camera_arrays, cfg: BrickmapConfig, width: int,
+                   height: int):
+    """Primary rays + initial wave state, one device program."""
+    n = width * height
+    from .sampling import concentric_disk, stratified_2d
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    x = (idx % width).astype(jnp.float32)
+    y = (idx // width).astype(jnp.float32)
+    k1, k2 = jax.random.split(key)
+    jitter = stratified_2d(k1, n)
+    px = x - jitter[:, 0]
+    py = y - jitter[:, 1]
+    ni = px / width - 0.5
+    nj = (height - py) / height - 0.5
+    origin = camera_arrays["position"]
+    to_focal = (camera_arrays["direction"][None, :] +
+                ni[:, None] * camera_arrays["right"] +
+                nj[:, None] * camera_arrays["up"])
+    to_focal = to_focal / jnp.linalg.norm(to_focal, axis=1, keepdims=True)
+    converge = origin + (camera_arrays["focal_distance"] * 3.0) * to_focal
+    p_lens = camera_arrays["lens_radius"] * concentric_disk(
+        jax.random.uniform(k2, (n, 2)))
+    origins = (origin[None, :] + camera_arrays["right"][None, :] * p_lens[:, 0:1]
+               + camera_arrays["up"][None, :] * p_lens[:, 1:2])
+    dirs = converge - origins
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    return {
+        "origins": origins, "dirs": dirs,
+        "accum": jnp.zeros((n, 3), jnp.float32),
+        "throughput": jnp.ones((n, 3), jnp.float32),
+        "active": jnp.ones((n,), bool),
+        "sh_o": jnp.zeros((n, 3), jnp.float32),
+        "sh_d": jnp.ones((n, 3), jnp.float32),
+        "sh_color": jnp.zeros((n, 3), jnp.float32),
+        "sh_active": jnp.zeros((n,), bool),
+        "req_mask": jnp.zeros((n,), bool),
+        "req_pos": jnp.zeros((n, 3), jnp.int32),
+        "traced": jnp.zeros((), jnp.int32),
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _bounce_step(bounce, key, st, scene, cam_brick, sun_dir,
+                 cfg: BrickmapConfig):
+    """One bounce: combined extend+connect traversal, then shade + NEE.
+
+    ``bounce`` is traced, so a single executable serves every bounce of every
+    wave (the reference relaunches the same five kernels per frame,
+    kernel.cu:416-420 — same idea, one fused launch here).
+    """
+    n = st["origins"].shape[0]
+    active, sh_active = st["active"], st["sh_active"]
+    origins, dirs = st["origins"], st["dirs"]
+    eps = cfg.grid.epsilon
+
+    traced = st["traced"] + jnp.sum(active) + jnp.sum(sh_active)
+    res = _trace(
+        jnp.concatenate([origins, st["sh_o"]], axis=0),
+        jnp.concatenate([dirs, st["sh_d"]], axis=0),
+        scene, cam_brick, cfg)
+    ext_hit = res["hit"][:n]
+    ext_t = res["t"][:n]
+    ext_n = res["normal"][:n]
+    sh_hit = res["hit"][n:]
+
+    req_mask = st["req_mask"] | (res["request"][:n] & active) \
+        | (res["request"][n:] & sh_active)
+    req_pos = jnp.where((res["request"][:n] & active)[:, None],
+                        res["request_pos"][:n], st["req_pos"])
+    req_pos = jnp.where((res["request"][n:] & sh_active)[:, None],
+                        res["request_pos"][n:], req_pos)
+
+    accum = st["accum"] + jnp.where((sh_active & ~sh_hit)[:, None],
+                                    st["sh_color"], 0.0)
+
+    miss = active & ~ext_hit
+    sky_v = sunsky_mod.sky(dirs, sun_dir, cfg.sky)
+    sunsky_v = sunsky_mod.sunsky(dirs, sun_dir, cfg.sky)
+    miss_rad = jnp.where(bounce == 0, sunsky_v, sky_v)
+    accum = accum + jnp.where(miss[:, None], st["throughput"] * miss_rad, 0.0)
+
+    hit = active & ext_hit
+    n_len2 = jnp.sum(ext_n * ext_n, axis=1, keepdims=True)
+    ext_n = jnp.where(n_len2 > 0.0, ext_n, -dirs)
+    hitpoint = origins + dirs * ext_t[:, None] + ext_n * (2.0 * eps)
+
+    k_cone, k_bounce = jax.random.split(key)
+    cone_ext = sunsky_mod.cone_extent(cfg.sky)
+    sdir = cone_sample(k_cone, sun_dir, cone_ext, shape=(n,))
+    sun_cos = jnp.sum(ext_n * sdir, axis=1)
+    sun_rad = sunsky_mod.sun(sdir, sun_dir, cfg.sky)
+
+    new_dirs = cosine_hemisphere(k_bounce, ext_n)
+    more = bounce < cfg.render.max_bounces
+    return dict(
+        st,
+        origins=jnp.where(hit[:, None], hitpoint, origins),
+        dirs=jnp.where(hit[:, None], new_dirs, dirs),
+        active=hit & more,
+        sh_o=hitpoint,
+        sh_d=sdir,
+        sh_color=st["throughput"] * sun_rad * (sun_cos[:, None] * 1e-5),
+        sh_active=hit & (sun_cos > 0.0),
+        accum=accum, req_mask=req_mask, req_pos=req_pos, traced=traced,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _final_shadow(st, scene, cam_brick, cfg: BrickmapConfig):
+    traced = st["traced"] + jnp.sum(st["sh_active"])
+    res = _trace(st["sh_o"], st["sh_d"], scene, cam_brick, cfg)
+    accum = st["accum"] + jnp.where(
+        (st["sh_active"] & ~res["hit"])[:, None], st["sh_color"], 0.0)
+    req_mask = st["req_mask"] | (res["request"] & st["sh_active"])
+    req_pos = jnp.where((res["request"] & st["sh_active"])[:, None],
+                        res["request_pos"], st["req_pos"])
+    count = jnp.ones(st["accum"].shape[0], jnp.float32)
+    return accum, count, {"mask": req_mask, "pos": req_pos,
+                          "traced_rays": traced}
+
+
 def render_wave(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
                 width: int, height: int):
     """Trace one full sample wave (1 spp for every pixel).
 
-    Args:
-      key: PRNG key for this wave.
-      scene: VoxelScene of jnp arrays.
-      camera_arrays: dict with position/direction/right/up float32[3] and
-        focal_distance/lens_radius scalars (traced, so camera moves don't
-        recompile); see :func:`camera_arrays_for`.
-      cam_brick: int32 [3] camera position // 8 for LoD.
-      cfg/width/height: static.
+    Host-orchestrated like the reference's per-frame kernel launches
+    (kernel.cu:416-420): one primary program, one bounce-step executable
+    reused for every bounce, one final shadow pass.  Keeping the programs
+    small bounds remote-compile time; the bounce executable compiles once.
 
     Returns (delta_rgb [N,3], delta_count [N], requests dict) — add to a Film.
     """
-    idx = jnp.arange(width * height, dtype=jnp.int32)
-    return wave_for_indices(key, idx, scene, camera_arrays, cam_brick, cfg,
-                            width, height)
+    k_pix, k_loop = jax.random.split(key)
+    st = _primary_state(k_pix, camera_arrays, cfg, width, height)
+    for bounce in range(cfg.render.max_bounces + 1):
+        k_loop, k_b = jax.random.split(k_loop)
+        st = _bounce_step(jnp.int32(bounce), k_b, st, scene, cam_brick,
+                          camera_arrays["sun_direction"], cfg)
+    return _final_shadow(st, scene, cam_brick, cfg)
 
 
 _jit_wave = jax.jit(wave_for_indices, static_argnames=("cfg", "width", "height"))

@@ -286,21 +286,33 @@ def _assemble(grid: GridConfig, layer_words, layer_lod, layer_nonempty,
 
 def generate_terrain_scene(grid: GridConfig, residency: str = "full",
                            octaves: int = 8,
-                           feature_scale: float = 2048.0) -> VoxelScene:
+                           feature_scale: float = 2048.0,
+                           use_native: bool = True) -> VoxelScene:
     """Generate the simplex-fBm terrain world (Scene::generate semantics).
 
     residency="full": every non-empty brick resident with the loaded bit set —
     the north-star HBM-resident design.  residency="streaming": index words
     start ``unloaded | lod`` like the reference's GPU init (Scene.cpp:157-175);
     pair with :mod:`brickmap_tpu.stream`.
+
+    use_native: evaluate the heightfield with the multithreaded C++ library
+    (csrc/worldgen.cpp, the analog of the reference's thread fan-out,
+    Scene.cpp:124-147); falls back to vectorized NumPy automatically.
     """
     g = grid.grid_size
-    xs = np.arange(g, dtype=np.float32)
-    wy, wx = np.meshgrid(xs, xs, indexing="ij")  # heights[y, x]
-    heights = np.asarray(
-        noise.terrain_height(wx, wy, grid.grid_height, octaves=octaves,
-                             feature_scale=feature_scale)
-    )
+    heights = None
+    if use_native:
+        from . import native
+
+        heights = native.terrain_heights(g, grid.grid_height, octaves,
+                                         feature_scale)
+    if heights is None:
+        xs = np.arange(g, dtype=np.float32)
+        wy, wx = np.meshgrid(xs, xs, indexing="ij")  # heights[y, x]
+        heights = np.asarray(
+            noise.terrain_height(wx, wy, grid.grid_height, octaves=octaves,
+                                 feature_scale=feature_scale)
+        )
 
     layer_words, layer_lod, layer_nonempty = [], [], []
     for czi in range(grid.cells_height):
