@@ -83,30 +83,10 @@ def main() -> None:
     # fwd+bwd: differentiable render + gradient step at the same resolution
     # over a dense grid (config 5 scale).
     fwd_bwd_mrays = None
-    if not args.skip_bwd:
-        from brickmap_tpu.diff.render import l2_loss_and_grads
-
-        rng = np.random.default_rng(0)
-        occ = jnp.asarray(rng.uniform(0, 1, (64, 64, 64)).astype(np.float32))
-        alb = jnp.asarray(rng.uniform(0, 1, (64, 64, 64, 3)).astype(np.float32))
-        n = cfg.render.width * cfg.render.height
-        dirs = rng.normal(size=(n, 3)).astype(np.float32)
-        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-        origins = (np.array([32, 32, 32]) - dirs * 96).astype(np.float32)
-        bg = np.zeros((n, 3), np.float32)
-        tgt = np.full((n, 3), 0.5, np.float32)
-        args_j = (jnp.asarray(origins), jnp.asarray(dirs), occ, alb,
-                  jnp.asarray(bg), jnp.asarray(tgt))
-        out = l2_loss_and_grads(*args_j, max_steps=192)
-        float(out[0])  # force completion (block_until_ready is unreliable
-        # through the remote tunnel)
-        t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
-            out = l2_loss_and_grads(*args_j, max_steps=192)
-            float(out[0])
-        dt = time.perf_counter() - t0
-        fwd_bwd_mrays = reps * n / dt / 1e6
+    try:
+        fwd_bwd_mrays = _bwd_bench(cfg) if not args.skip_bwd else None
+    except Exception as e:  # never lose the headline JSON line
+        print(f"fwd+bwd bench failed: {e}", file=sys.stderr)
 
     result = {
         "metric": "Mrays/s/chip fwd path tracing "
@@ -122,6 +102,36 @@ def main() -> None:
         "world": tag,
     }
     print(json.dumps(result))
+
+
+def _bwd_bench(cfg):
+    """fwd+bwd differentiable render throughput over a 64^3 dense grid at the
+    benchmark resolution (config-5 style gradients)."""
+    import jax.numpy as jnp
+
+    from brickmap_tpu.diff.render import l2_loss_and_grads
+
+    rng = np.random.default_rng(0)
+    occ = jnp.asarray(rng.uniform(0, 1, (64, 64, 64)).astype(np.float32))
+    alb = jnp.asarray(rng.uniform(0, 1, (64, 64, 64, 3)).astype(np.float32))
+    n = cfg.render.width * cfg.render.height
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins = (np.array([32, 32, 32]) - dirs * 96).astype(np.float32)
+    bg = np.zeros((n, 3), np.float32)
+    tgt = np.full((n, 3), 0.5, np.float32)
+    args_j = (jnp.asarray(origins), jnp.asarray(dirs), occ, alb,
+              jnp.asarray(bg), jnp.asarray(tgt))
+    out = l2_loss_and_grads(*args_j, max_steps=192)
+    float(out[0])  # force completion (block_until_ready is unreliable
+    # through the remote tunnel)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = l2_loss_and_grads(*args_j, max_steps=192)
+        float(out[0])
+    dt = time.perf_counter() - t0
+    return reps * n / dt / 1e6
 
 
 if __name__ == "__main__":

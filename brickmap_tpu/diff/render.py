@@ -133,15 +133,43 @@ def render_image(camera_origin, camera_rays, occupancy, albedo, background,
                           background, max_steps=max_steps)
 
 
-@partial(jax.jit, static_argnames=("max_steps",))
+@partial(jax.jit, static_argnames=("max_steps", "rays_per_chunk"))
 def l2_loss_and_grads(origin, direction, occupancy, albedo, background,
-                      target, max_steps: int = 192):
-    """L2 image loss and gradients w.r.t. (occupancy, albedo)."""
+                      target, max_steps: int = 192,
+                      rays_per_chunk: int = 32768):
+    """L2 image loss and gradients w.r.t. (occupancy, albedo).
+
+    Rays are processed in chunks via ``lax.map`` so the backward pass stores
+    scan residuals for one chunk at a time (a full 1080p frame at 192 steps
+    would need tens of GB of residuals otherwise); gradients accumulate across
+    chunks inside the map.
+    """
+    n = origin.shape[0]
 
     def loss_fn(occ, alb):
-        rgb, _, _ = composite_rays(origin, direction, occ, alb, background,
-                                   max_steps=max_steps)
-        return jnp.mean((rgb - target) ** 2)
+        if n <= rays_per_chunk:
+            rgb, _, _ = composite_rays(origin, direction, occ, alb,
+                                       background, max_steps=max_steps)
+            return jnp.mean((rgb - target) ** 2)
+        pad = (-n) % rays_per_chunk
+        o = jnp.concatenate([origin, jnp.zeros((pad, 3), origin.dtype)])
+        d = jnp.concatenate([direction, jnp.ones((pad, 3), direction.dtype)])
+        bg = jnp.concatenate([background, jnp.zeros((pad, 3), jnp.float32)])
+        tg = jnp.concatenate([target, jnp.zeros((pad, 3), jnp.float32)])
+        w = jnp.concatenate([jnp.ones((n,), jnp.float32),
+                             jnp.zeros((pad,), jnp.float32)])
+        c = o.shape[0] // rays_per_chunk
+
+        def one(args):
+            oc, dc, bgc, tgc, wc = args
+            rgb, _, _ = composite_rays(oc, dc, occ, alb, bgc,
+                                       max_steps=max_steps)
+            return jnp.sum(wc[:, None] * (rgb - tgc) ** 2)
+
+        sq = jax.lax.map(one, tuple(
+            a.reshape(c, rays_per_chunk, *a.shape[1:])
+            for a in (o, d, bg, tg, w)))
+        return jnp.sum(sq) / (n * 3)
 
     loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(occupancy, albedo)
     return loss, grads
