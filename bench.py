@@ -88,6 +88,12 @@ def main() -> None:
     except Exception as e:  # never lose the headline JSON line
         print(f"fwd+bwd bench failed: {e}", file=sys.stderr)
 
+    pallas_mrays = None
+    try:
+        pallas_mrays = _pallas_brick_bench()
+    except Exception as e:
+        print(f"pallas brick bench failed: {e}", file=sys.stderr)
+
     result = {
         "metric": "Mrays/s/chip fwd path tracing "
                   f"{cfg.render.width}x{cfg.render.height} "
@@ -96,6 +102,7 @@ def main() -> None:
         "unit": "Mrays/s",
         "vs_baseline": None,  # reference publishes no numbers (BASELINE.md)
         "fwd_bwd_mrays_per_s": round(fwd_bwd_mrays, 3) if fwd_bwd_mrays else None,
+        "pallas_brick_mrays_per_s": round(pallas_mrays, 1) if pallas_mrays else None,
         "per_view_mrays": [round(r["mrays_per_s"], 2) for r in fwd["per_view"]],
         "avg_ms": round(sum(r["avg_ms"] for r in fwd["per_view"])
                         / len(fwd["per_view"]), 2),
@@ -132,6 +139,39 @@ def _bwd_bench(cfg):
         float(out[0])
     dt = time.perf_counter() - t0
     return reps * n / dt / 1e6
+
+
+def _pallas_brick_bench():
+    """Config-1 class microbenchmark: the fused Pallas 8^3 brick-DDA kernel
+    (the register-resident architecture the hierarchical kernel builds on)."""
+    import jax.numpy as jnp
+
+    from brickmap_tpu import bits
+    from brickmap_tpu.pallas.brick import trace_single_brick
+
+    rng = np.random.default_rng(0)
+    dense = rng.random((8, 8, 8)) < 0.12
+    words = jnp.asarray(np.asarray(
+        bits.brick_words_from_dense(dense[None])[0], np.uint32))
+    n = 1 << 21  # 2M rays
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    start = np.array([4.0, 4.0, 4.0]) - dirs * 20
+    with np.errstate(divide="ignore"):
+        tenter = np.minimum((0.0 - start) / dirs,
+                            (8.0 - start) / dirs).max(1) + 1e-3
+    origins = (start + dirs * tenter[:, None]).astype(np.float32)
+    o, d = jnp.asarray(origins), jnp.asarray(dirs)
+    r = trace_single_brick(o, d, words)
+    int(np.asarray(r["hit"]).sum())  # forced completion
+    best = 1e9
+    for rep in range(3):
+        o2 = o + rep * 1e-5
+        t0 = time.perf_counter()
+        r = trace_single_brick(o2, d, words)
+        int(np.asarray(r["hit"]).sum())
+        best = min(best, time.perf_counter() - t0)
+    return n / best / 1e6
 
 
 if __name__ == "__main__":
