@@ -203,12 +203,13 @@ def wave_for_indices(key, idx, scene, camera_arrays, cam_brick,
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
 def _primary_state(key, camera_arrays, cfg: BrickmapConfig, width: int,
-                   height: int):
+                   height: int, pixel_order=None):
     """Primary rays + initial wave state, one device program."""
     n = width * height
     from .sampling import concentric_disk, stratified_2d
 
-    idx = jnp.arange(n, dtype=jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32) if pixel_order is None \
+        else pixel_order
     x = (idx % width).astype(jnp.float32)
     y = (idx // width).astype(jnp.float32)
     k1, k2 = jax.random.split(key)
@@ -324,6 +325,25 @@ def _final_shadow(st, scene, cam_brick, cfg: BrickmapConfig):
                           "traced_rays": traced}
 
 
+def _tile_permutation(width: int, height: int, tile: int = 128):
+    """Pixel ordering that groups square tiles (ray coherence: chunks sharing
+    blocks/bricks exit their lockstep loops together). Returns (perm, inv)."""
+    import numpy as np
+
+    idx = np.arange(width * height, dtype=np.int32)
+    x = idx % width
+    y = idx // width
+    key = ((y // tile).astype(np.int64) * ((width + tile - 1) // tile)
+           + (x // tile)) * (width * height) + idx
+    perm = np.argsort(key, kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    return perm, inv
+
+
+_tile_perm_cache: dict = {}
+
+
 def render_wave(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
                 width: int, height: int):
     """Trace one full sample wave (1 spp for every pixel).
@@ -332,16 +352,28 @@ def render_wave(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
     (kernel.cu:416-420): one primary program, one bounce-step executable
     reused for every bounce, one final shadow pass.  Keeping the programs
     small bounds remote-compile time; the bounce executable compiles once.
+    Pixels are processed in square-tile order so traversal chunks stay
+    ray-coherent; outputs are returned in row-major pixel order.
 
     Returns (delta_rgb [N,3], delta_count [N], requests dict) — add to a Film.
     """
+    if (width, height) not in _tile_perm_cache:
+        _tile_perm_cache[(width, height)] = _tile_permutation(width, height)
+    perm, inv = _tile_perm_cache[(width, height)]
+    perm_j = jnp.asarray(perm)
+    inv_j = jnp.asarray(inv)
+
     k_pix, k_loop = jax.random.split(key)
-    st = _primary_state(k_pix, camera_arrays, cfg, width, height)
+    st = _primary_state(k_pix, camera_arrays, cfg, width, height,
+                        pixel_order=perm_j)
     for bounce in range(cfg.render.max_bounces + 1):
         k_loop, k_b = jax.random.split(k_loop)
         st = _bounce_step(jnp.int32(bounce), k_b, st, scene, cam_brick,
                           camera_arrays["sun_direction"], cfg)
-    return _final_shadow(st, scene, cam_brick, cfg)
+    rgb, count, req = _final_shadow(st, scene, cam_brick, cfg)
+    return (jnp.take(rgb, inv_j, axis=0), jnp.take(count, inv_j, axis=0),
+            dict(req, mask=jnp.take(req["mask"], inv_j, axis=0),
+                 pos=jnp.take(req["pos"], inv_j, axis=0)))
 
 
 _jit_wave = jax.jit(wave_for_indices, static_argnames=("cfg", "width", "height"))
