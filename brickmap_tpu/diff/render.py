@@ -160,6 +160,10 @@ def l2_loss_and_grads(origin, direction, occupancy, albedo, background,
                              jnp.zeros((pad,), jnp.float32)])
         c = o.shape[0] // rays_per_chunk
 
+        # remat: without it, map-as-scan stacks every chunk's scan residuals
+        # (C x steps x chunk x ...) and a 1080p frame needs tens of GB; with
+        # it, each chunk's forward is recomputed during its own backward.
+        @jax.checkpoint
         def one(args):
             oc, dc, bgc, tgc, wc = args
             rgb, _, _ = composite_rays(oc, dc, occ, alb, bgc,

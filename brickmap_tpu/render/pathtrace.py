@@ -76,140 +76,34 @@ def wave_for_indices(key, idx, scene, camera_arrays, cam_brick,
                      cfg: BrickmapConfig, width: int, height: int):
     """Trace one sample wave for an explicit pixel-index array ``idx`` [M].
 
-    The core of :func:`render_wave`; also the shard body for multi-chip
-    rendering (each device passes its own pixel-index slice, see
-    brickmap_tpu.parallel).  Returns (rgb [M,3], count [M], requests).
+    The shard body for multi-chip rendering (each device passes its own
+    pixel-index slice, see brickmap_tpu.parallel) and the core of
+    :func:`render_wave`.  Returns (rgb [M,3], count [M], requests) in ``idx``
+    order.
     """
-    n = idx.shape[0]
-    render = cfg.render
-
     k_pix, k_loop = jax.random.split(key)
-
-    # --- primary rays (kernel.cu:154-222), traced-camera variant ----------
-    origin = camera_arrays["position"]
-    cam_dir = camera_arrays["direction"]
-    right = camera_arrays["right"]
-    up2 = camera_arrays["up"]
-
-    x = (idx % width).astype(jnp.float32)
-    y = (idx // width).astype(jnp.float32)
-    from .sampling import concentric_disk, stratified_2d
-
-    k1, k2 = jax.random.split(k_pix)
-    jitter = stratified_2d(k1, n)
-    px = x - jitter[:, 0]
-    py = y - jitter[:, 1]
-    ni = px / width - 0.5
-    nj = (height - py) / height - 0.5
-    to_focal = cam_dir[None, :] + ni[:, None] * right + nj[:, None] * up2
-    to_focal = to_focal / jnp.linalg.norm(to_focal, axis=1, keepdims=True)
-    converge = origin + (camera_arrays["focal_distance"] * 3.0) * to_focal
-    p_lens = camera_arrays["lens_radius"] * concentric_disk(
-        jax.random.uniform(k2, (n, 2)))
-    origins = (origin[None, :] + right[None, :] * p_lens[:, 0:1]
-               + up2[None, :] * p_lens[:, 1:2])
-    dirs = converge - origins
-    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
-
-    sun_dir = camera_arrays["sun_direction"]
-    cone_ext = sunsky_mod.cone_extent(cfg.sky)
-    eps = cfg.grid.epsilon
-
-    accum = jnp.zeros((n, 3), jnp.float32)
-    throughput = jnp.ones((n, 3), jnp.float32)
-    active = jnp.ones((n,), bool)
-
-    # Shadow rays from the previous bounce, traced jointly with the next
-    # extension wave.
-    sh_o = jnp.zeros((n, 3), jnp.float32)
-    sh_d = jnp.ones((n, 3), jnp.float32)
-    sh_color = jnp.zeros((n, 3), jnp.float32)
-    sh_active = jnp.zeros((n,), bool)
-
-    req_mask = jnp.zeros((n,), bool)
-    req_pos = jnp.zeros((n, 3), jnp.int32)
-    traced = jnp.zeros((), jnp.int32)  # active traversal lanes (rays/s metric)
-
-    for bounce in range(render.max_bounces + 1):
-        k_loop, k_cone, k_bounce = jax.random.split(k_loop, 3)
-
-        traced = traced + jnp.sum(active) + jnp.sum(sh_active)
-        # ---- extend + connect in one traversal ----------------------------
-        res = _trace(
-            jnp.concatenate([origins, sh_o], axis=0),
-            jnp.concatenate([dirs, sh_d], axis=0),
-            scene, cam_brick, cfg)
-        ext_hit = res["hit"][:n]
-        ext_t = res["t"][:n]
-        ext_n = res["normal"][:n]
-        sh_hit = res["hit"][n:]
-
-        req_mask = req_mask | (res["request"][:n] & active) \
-            | (res["request"][n:] & sh_active)
-        req_pos = jnp.where((res["request"][:n] & active)[:, None],
-                            res["request_pos"][:n], req_pos)
-        req_pos = jnp.where((res["request"][n:] & sh_active)[:, None],
-                            res["request_pos"][n:], req_pos)
-
-        # ---- previous bounce's shadow connect (kernel.cu:328-346) ---------
-        accum = accum + jnp.where((sh_active & ~sh_hit)[:, None], sh_color, 0.0)
-
-        # ---- shade (kernel.cu:242-325) ------------------------------------
-        miss = active & ~ext_hit
-        miss_rad = sunsky_mod.sunsky(dirs, sun_dir, cfg.sky) if bounce == 0 \
-            else sunsky_mod.sky(dirs, sun_dir, cfg.sky)
-        accum = accum + jnp.where(miss[:, None], throughput * miss_rad, 0.0)
-
-        hit = active & ext_hit
-        # Degenerate case: ray starts inside an occupied cell -> traversal
-        # reports a hit at t=0 with a zero normal (the reference leaves the
-        # normal stale, kernel.cu:200 / voxel.cuh:202). Fall back to the
-        # reversed ray direction so the bounce basis stays finite.
-        n_len2 = jnp.sum(ext_n * ext_n, axis=1, keepdims=True)
-        ext_n = jnp.where(n_len2 > 0.0, ext_n, -dirs)
-        hitpoint = origins + dirs * ext_t[:, None] + ext_n * (2.0 * eps)
-
-        # Sun NEE (kernel.cu:274-279)
-        sdir = cone_sample(k_cone, sun_dir, cone_ext, shape=(n,))
-        sun_cos = jnp.sum(ext_n * sdir, axis=1)
-        sh_active = hit & (sun_cos > 0.0)
-        sun_rad = sunsky_mod.sun(sdir, sun_dir, cfg.sky)
-        sh_color = throughput * sun_rad * (sun_cos[:, None] * 1e-5)
-        sh_o = hitpoint
-        sh_d = sdir
-
-        # Diffuse bounce (kernel.cu:281-299); albedo = 1 so throughput is
-        # unchanged (kernel.cu:261-271 keeps color = vec3(1)).
-        if bounce < render.max_bounces:
-            new_dirs = cosine_hemisphere(k_bounce, ext_n)
-            origins = hitpoint
-            dirs = new_dirs
-            active = hit
-        else:
-            active = jnp.zeros_like(active)
-
-    # Final shadow wave for the last bounce.
-    traced = traced + jnp.sum(sh_active)
-    res = _trace(sh_o, sh_d, scene, cam_brick, cfg)
-    accum = accum + jnp.where((sh_active & ~res["hit"])[:, None], sh_color, 0.0)
-    req_mask = req_mask | (res["request"] & sh_active)
-    req_pos = jnp.where((res["request"] & sh_active)[:, None],
-                        res["request_pos"], req_pos)
-
-    count = jnp.ones((n,), jnp.float32)
-    return accum, count, {"mask": req_mask, "pos": req_pos,
-                          "traced_rays": traced}
+    st = _primary_state(k_pix, camera_arrays, cfg, width, height,
+                        pixel_order=idx)
+    for bounce in range(cfg.render.max_bounces + 1):
+        k_loop, k_b = jax.random.split(k_loop)
+        st = _bounce_step(jnp.int32(bounce), k_b, st, scene, cam_brick,
+                          camera_arrays["sun_direction"], cfg)
+    return _final_shadow(st, scene, cam_brick, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
 def _primary_state(key, camera_arrays, cfg: BrickmapConfig, width: int,
                    height: int, pixel_order=None):
-    """Primary rays + initial wave state, one device program."""
-    n = width * height
+    """Primary rays + initial wave state, one device program.
+
+    ``pixel_order``: optional explicit pixel-index array (any subset/order of
+    the frame — shard slices, tile permutations); defaults to row-major.
+    """
     from .sampling import concentric_disk, stratified_2d
 
-    idx = jnp.arange(n, dtype=jnp.int32) if pixel_order is None \
+    idx = jnp.arange(width * height, dtype=jnp.int32) if pixel_order is None \
         else pixel_order
+    n = idx.shape[0]
     x = (idx % width).astype(jnp.float32)
     y = (idx // width).astype(jnp.float32)
     k1, k2 = jax.random.split(key)
