@@ -91,6 +91,17 @@ def cmd_render(args) -> int:
     arrays = pathtrace.camera_arrays_for(cam, sun, args.width, args.height)
     cam_brick = jnp.asarray(cam.brick_position, jnp.int32)
 
+    mgr = None
+    if args.streaming:
+        from ..stream import StreamingScene
+
+        # Generous starting capacity: each pool-shape change recompiles the
+        # render executables (~minutes through the remote tunnel), so unlike
+        # the reference's cheap cudaMalloc doubling (Scene.cpp:235-250) we
+        # start near the expected resident set.
+        mgr = StreamingScene(sc, cfg.grid, starting_capacity=256)
+        jsc = mgr.device_scene()
+
     film = pathtrace.film_init(args.width, args.height)
     timer = FrameTimer()
     metrics = MetricsLogger(args.metrics, echo=args.verbose)
@@ -103,10 +114,27 @@ def cmd_render(args) -> int:
         jax.block_until_ready(film["rgb"])
         dt = time.perf_counter() - t0
         timer.add(dt)
+        uploads = 0
+        if mgr is not None:
+            # The per-frame CPU half of streaming (main.cpp:144 ->
+            # Scene::process_load_queue): service this wave's brick requests,
+            # then render against the updated residency next wave.
+            mask = np.asarray(req["mask"])
+            if mask.any():
+                uploads = mgr.process_requests(
+                    map(tuple, np.asarray(req["pos"])[mask]))
+                jsc = mgr.device_scene()
         metrics.log(s, wave_s=dt, traced=int(req["traced_rays"]),
-                    mrays_s=int(req["traced_rays"]) / dt / 1e6)
+                    mrays_s=int(req["traced_rays"]) / dt / 1e6,
+                    uploads=uploads)
         if args.verbose:
-            print(f"wave {s}: {dt*1000:.0f} ms", file=sys.stderr)
+            extra = f" uploads {uploads}" if mgr is not None else ""
+            print(f"wave {s}: {dt*1000:.0f} ms{extra}", file=sys.stderr)
+    if mgr is not None:
+        res = mgr.dump()
+        print(f"streaming: {int(res.sum())} bricks resident, "
+              f"{mgr.total_uploaded} uploaded, {mgr.total_dropped} dropped",
+              file=sys.stderr)
 
     img = np.asarray(pathtrace.tonemap(film, args.width, args.height))
     write_png(args.out, img)
@@ -225,6 +253,9 @@ def main(argv=None) -> int:
     pr.add_argument("--load", default=None)
     pr.add_argument("--save-scene", default=None)
     pr.add_argument("--metrics", default=None)
+    pr.add_argument("--streaming", action="store_true",
+                    help="start with all bricks unloaded and stream residency "
+                         "from per-wave requests (reference C6-C8 pipeline)")
     pr.add_argument("--verbose", action="store_true")
     pr.set_defaults(fn=cmd_render)
 

@@ -475,14 +475,19 @@ def _sel64(cw, idx):
     return _sel4(hi, *groups)
 
 
+def _sel8(cw, idx):
+    """8-way select from an 8-tuple of [N] arrays by per-lane idx (0..7)."""
+    return _sel4(idx, *cw)
+
+
 @partial(jax.jit,
          static_argnames=("grid", "max_outer", "inner_steps", "use_lod",
-                          "use_ess"))
+                          "use_ess", "block"))
 def trace_rays_blocked(origin, direction, index_volume, block_words,
                        pool_words, pool_base, camera_brick_pos,
                        grid: GridConfig, max_outer: int = 512,
                        inner_steps: int = 12, use_lod: bool = True,
-                       use_ess: bool = True):
+                       use_ess: bool = True, block: int = 4):
     """Block-cached variant of :func:`trace_rays` (same results, same oracle).
 
     TPU random gathers cost ~15 ns per row regardless of row size, so the
@@ -507,7 +512,9 @@ def trace_rays_blocked(origin, direction, index_volume, block_words,
     bsz = grid.brick_size
     cx_max, cy_max, cz_max = grid.cells, grid.cells, grid.cells_height
     s = grid.supergrid_cell_size
-    bb = 4  # block edge (scene.BLOCK)
+    bb = block  # block edge (must match how block_words was built)
+    nwords = bb ** 3
+    selblk = _sel64 if bb == 4 else _sel8
     nbx, nby, nbz = -(-cx_max // bb), -(-cy_max // bb), -(-cz_max // bb)
 
     ok, tminn, clipped, entry_normal = aabb_clip(origin, direction, grid)
@@ -561,7 +568,7 @@ def trace_rays_blocked(origin, direction, index_volume, block_words,
         axs=jnp.full(n, -1, i32),
         lodbyte=zero_i,
         cblk=jnp.full(n, -1, i32),
-        cw=tuple(zero_u for _ in range(64)),
+        cw=tuple(zero_u for _ in range(nwords)),
         pend=jnp.zeros(n, bool), pgslot=zero_i,
         bw=tuple(zero_u for _ in range(16)),
         hit=jnp.zeros(n, bool), t=zero_f,
@@ -585,7 +592,7 @@ def trace_rays_blocked(origin, direction, index_volume, block_words,
         in_cached = blk == st["cblk"]
         local = ((pz - (pz // bb) * bb) * bb + (py - (py // bb) * bb)) * bb \
             + (px - (px // bb) * bb)
-        word = _sel64(st["cw"], jnp.clip(local, 0, bb * bb * bb - 1))
+        word = selblk(st["cw"], jnp.clip(local, 0, nwords - 1))
 
         is_top = (level == 0) & active & in_cached & ~st["pend"]
         occ0 = is_top & ((word & jnp.uint32(BRICK_FLAG_BITS)) != 0)
@@ -808,9 +815,10 @@ def trace_rays_blocked(origin, direction, index_volume, block_words,
 
         rows = jax.lax.cond(
             jnp.any(need_blk), fetch_blocks,
-            lambda _: jnp.zeros((n, bb ** 3), jnp.uint32), None)
+            lambda _: jnp.zeros((n, nwords), jnp.uint32), None)
         cw = tuple(
-            jnp.where(need_blk, rows[:, k], st["cw"][k]) for k in range(64))
+            jnp.where(need_blk, rows[:, k], st["cw"][k])
+            for k in range(nwords))
         cblk = jnp.where(need_blk, blk, st["cblk"])
 
         pend = st["pend"] & active
@@ -847,12 +855,13 @@ def trace_rays_blocked(origin, direction, index_volume, block_words,
 
 @partial(jax.jit,
          static_argnames=("grid", "chunk", "max_outer", "inner_steps",
-                          "use_lod", "use_ess"))
+                          "use_lod", "use_ess", "block"))
 def trace_rays_chunked(origin, direction, index_volume, block_words,
                        pool_words, pool_base, camera_brick_pos,
                        grid: GridConfig, chunk: int = 131072,
                        max_outer: int = 512, inner_steps: int = 12,
-                       use_lod: bool = True, use_ess: bool = True):
+                       use_lod: bool = True, use_ess: bool = True,
+                       block: int = 4):
     """Blocked traversal over ray chunks via an on-device ``lax.map``.
 
     Very large single batches degrade sharply on v5e (loop state no longer
@@ -866,7 +875,8 @@ def trace_rays_chunked(origin, direction, index_volume, block_words,
         return trace_rays_blocked(
             origin, direction, index_volume, block_words, pool_words,
             pool_base, camera_brick_pos, grid, max_outer=max_outer,
-            inner_steps=inner_steps, use_lod=use_lod, use_ess=use_ess)
+            inner_steps=inner_steps, use_lod=use_lod, use_ess=use_ess,
+            block=block)
 
     pad = (-n) % chunk
     if pad:
@@ -880,7 +890,8 @@ def trace_rays_chunked(origin, direction, index_volume, block_words,
         return trace_rays_blocked(
             o, d, index_volume, block_words, pool_words, pool_base,
             camera_brick_pos, grid, max_outer=max_outer,
-            inner_steps=inner_steps, use_lod=use_lod, use_ess=use_ess)
+            inner_steps=inner_steps, use_lod=use_lod, use_ess=use_ess,
+            block=block)
 
     out = jax.lax.map(one, (origin.reshape(c, chunk, 3),
                             direction.reshape(c, chunk, 3)))

@@ -79,16 +79,17 @@ class VoxelScene:
 BLOCK = 4  # cells per block edge for block_words
 
 
-def block_words_from_index(index_volume: np.ndarray) -> np.ndarray:
-    """Re-tile [CZ, CY, CX] index words into [NB, 64] 4x4x4 block rows.
+def block_words_from_index(index_volume: np.ndarray,
+                           block: int = BLOCK) -> np.ndarray:
+    """Re-tile [CZ, CY, CX] index words into [NB, block^3] block rows.
 
-    Block id of cell (cz, cy, cx) is ``((cz//4)*NBY + cy//4)*NBX + cx//4``;
-    the word's row offset is ``(cz%4)*16 + (cy%4)*4 + cx%4``.  Edges pad with
+    Block id of cell (cz, cy, cx) is ``((cz//b)*NBY + cy//b)*NBX + cx//b``;
+    the word's row offset is ``((cz%b)*b + cy%b)*b + cx%b``.  Edges pad with
     zero words (never tested — traversal exits at the grid bounds first).
     """
     xp = bits._xp(index_volume)
     cz, cy, cx = index_volume.shape
-    b = BLOCK
+    b = block
     nbz, nby, nbx = -(-cz // b), -(-cy // b), -(-cx // b)
     if (nbz * b, nby * b, nbx * b) != (cz, cy, cx):
         padded = xp.zeros((nbz * b, nby * b, nbx * b), index_volume.dtype)

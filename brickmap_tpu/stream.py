@@ -66,7 +66,7 @@ class StreamingScene:
         s = grid.num_superchunks
         self.capacity = np.full(s, starting_capacity, np.int64)
         self.highest = np.zeros(s, np.int64)     # gpu_index_highest
-        self._pool = np.zeros((int(self.capacity.sum()), grid.cell_members),
+        self._pool = np.zeros((self._padded_total(), grid.cell_members),
                               np.uint32)
         self._rebase()
         self._pending: set[tuple] = set()        # requested-bit dedupe
@@ -77,6 +77,14 @@ class StreamingScene:
         self._dev = None
 
     # -- bookkeeping --------------------------------------------------------
+
+    def _padded_total(self) -> int:
+        """Global pool rows padded to a power of two: the device array's shape
+        changes only on the log-many global doublings, so downstream programs
+        recompile rarely (the reference reallocs without recompiling; XLA
+        recompiles per shape — minutes through the remote tunnel)."""
+        total = int(self.capacity.sum())
+        return int(2 ** np.ceil(np.log2(max(total, 16))))
 
     def _rebase(self) -> None:
         self.pool_base = np.zeros(self.grid.num_superchunks, np.int32)
@@ -139,7 +147,7 @@ class StreamingScene:
         if grew:
             old_pool, old_base = self._pool, self.pool_base.copy()
             self._rebase()
-            new_pool = np.zeros((int(self.capacity.sum()),
+            new_pool = np.zeros((self._padded_total(),
                                  self.grid.cell_members), np.uint32)
             for sc in range(self.grid.num_superchunks):
                 h = int(self.highest[sc])
