@@ -33,6 +33,16 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    # Persistent compilation cache: later bench runs (and the driver's) reuse
+    # compiled executables when supported by the backend.
+    try:
+        os.makedirs(os.path.join(CACHE, "xla"), exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(CACHE, "xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from brickmap_tpu import scene as scene_mod
