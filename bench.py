@@ -28,7 +28,7 @@ def main() -> None:
                     help="full 4096^2x512 world at 1920x1080 (slow; default "
                          "is the 1024-world at 640x360 so the driver bench "
                          "completes in minutes)")
-    ap.add_argument("--waves", type=int, default=2)
+    ap.add_argument("--waves", type=int, default=1)
     ap.add_argument("--skip-bwd", action="store_true")
     args = ap.parse_args()
 

@@ -170,7 +170,6 @@ def trace_rays(origin, direction, index_volume, pool_words, pool_base,
     camx, camy, camz = (jnp.asarray(camera_brick_pos, i32)[k] for k in range(3))
 
     iv_flat = index_volume.reshape(-1)
-    pw_flat = pool_words.reshape(-1)
 
     enx, eny, enz = (entry_normal[:, k].astype(f32) for k in range(3))
 
