@@ -80,8 +80,11 @@ def aabb_clip(origin, direction, grid: GridConfig):
     box_max = jnp.asarray(grid.world_max, jnp.float32)
     t1 = (0.0 - origin) / direction
     t2 = (box_max[None, :] - origin) / direction
-    tmin3 = jnp.minimum(t1, t2)
-    tmax3 = jnp.maximum(t1, t2)
+    # fmin/fmax ignore NaN (origin exactly on a slab plane with direction 0
+    # yields 0/0): matches the oracle's np.fmin/np.fmax (dda_ref.py:79-80) and
+    # the CUDA fminf/fmaxf semantics (voxel.cuh:13-24).
+    tmin3 = jnp.fmin(t1, t2)
+    tmax3 = jnp.fmax(t1, t2)
     tminn = jnp.maximum(
         jnp.maximum(tmin3[:, 0], 0.0), jnp.maximum(tmin3[:, 1], tmin3[:, 2])
     ).astype(jnp.float32)

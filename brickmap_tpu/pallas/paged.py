@@ -1,0 +1,158 @@
+"""Paged scene layout for the hierarchical Pallas traversal kernel.
+
+The reference GPU walks a pointer table per superchunk and streams bricks
+CPU->GPU on demand (``Scene.h:9-17``, ``Scene.cpp:200-252``).  The TPU-native
+equivalent keeps everything HBM-resident and reorganizes the scene around the
+*superchunk page* (16^3 brick cells) as the unit of on-chip locality:
+
+* ``meta``   uint32 [S, 16, 128] — one 8 KB row per page, DMA'd HBM->VMEM by
+  the kernel when the page is voted:
+
+  - row 0: occupancy bit per cell (any residency flag, the traversal's
+    `if (index)` test, voxel.cuh:200) — in-page DDA tests are one lane-gather
+    from this row (~0.1 us per 1024-ray step, notes/PERF.md round 2);
+  - row 1: `loaded` flag bit-plane (streaming residency);
+  - rows 2-9: per-cell 2x2x2 LoD byte (index-word bits 19:12,
+    variables.h:30), 4 packed per word;
+  - rows 10-15: reserved (tile alignment).
+
+* ``poolT``  float32 [S, 32, 4096] — per-CELL brick payloads, transposed: row
+  2k / 2k+1 hold the lo/hi u16 half of occupancy word k for every cell
+  (exact in f32).  Cell-indexed, not slot-indexed: descends fetch payloads
+  with a one-hot MXU matmul straight from the page row — no slot/pool_base
+  indirection, no per-lane HBM gathers.  Empty/unloaded cells are zero rows.
+
+* ``sc_dist`` int32 [NR4, 8, 128] — page-level Chebyshev distance to the
+  nearest non-empty page (0 for non-empty), packed 1024 pages per register
+  for the kernel's arb-gather.  Page-granular empty-space skipping: rays
+  cross empty superchunks without touching page data.
+
+Memory: the full 4096^2x512 world expands to ~2.1 GB of HBM (poolT) + 128 MB
+of meta — the TPU-native trade replacing the reference's CPU->GPU transport
+with address translation + bulk DMA (SURVEY.md section 7).
+
+Page id convention matches the oracle (dda_ref.intersect_voxel / Scene.cpp:197):
+``sc = qx + qy * supergrid_xy + qz * supergrid_xy**2`` with q = cell // 16.
+In-page cell linearization is ``lin = (lz*16 + ly)*16 + lx`` (x fastest).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+from ..config import (
+    BRICK_FLAG_BITS,
+    BRICK_INDEX_BITS,
+    BRICK_LOADED_BIT,
+    BRICK_LOD_SHIFT,
+    GridConfig,
+)
+
+Array = Any
+
+__all__ = ["PagedScene", "build_paged_scene"]
+
+
+@dataclass(frozen=True)
+class PagedScene:
+    """Page-major scene tables (a JAX pytree; see module docstring)."""
+
+    meta: Array       # uint32 [S, 16, 128]
+    poolT: Array      # float32 [S, 32, 4096]
+    sc_dist: Array    # int32 [NR4, 8, 128]
+
+    def tree_flatten(self):
+        return ((self.meta, self.poolT, self.sc_dist), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def num_pages(self) -> int:
+        return self.meta.shape[0]
+
+
+def _register_pytree() -> None:
+    import jax
+
+    jax.tree_util.register_pytree_node(
+        PagedScene, PagedScene.tree_flatten, PagedScene.tree_unflatten)
+
+
+_register_pytree()
+
+
+def build_paged_scene(scene, grid: GridConfig) -> PagedScene:
+    """Expand a :class:`~brickmap_tpu.scene.VoxelScene` into page-major tables.
+
+    Pure NumPy; one-time per scene (incremental residency updates go through
+    :mod:`brickmap_tpu.stream` device scatters afterwards).
+    """
+    from ..scene import chebyshev_distance_field
+
+    s = grid.supergrid_cell_size
+    if s != 16:
+        raise ValueError("paged layout assumes 16^3-cell superchunk pages")
+    iv = np.asarray(scene.index_volume)          # [CZ, CY, CX] uint32
+    pool = np.asarray(scene.pool_words)          # [P, 16] uint32
+    pool_base = np.asarray(scene.pool_base)      # [S]
+    cz, cy, cx = iv.shape
+    sx = grid.supergrid_xy
+    S = grid.num_superchunks
+    pc = s ** 3                                   # cells per page (4096)
+    cm = grid.cell_members                        # 16
+
+    zz, yy, xx = np.meshgrid(np.arange(cz), np.arange(cy), np.arange(cx),
+                             indexing="ij")
+    sc = (xx // s) + (yy // s) * sx + (zz // s) * sx * sx
+    lin = ((zz % s) * s + (yy % s)) * s + (xx % s)
+    scf, linf = sc.ravel(), lin.ravel()
+
+    occ = ((iv & np.uint32(BRICK_FLAG_BITS)) != 0).ravel()
+    loaded = ((iv & np.uint32(BRICK_LOADED_BIT)) != 0).ravel()
+
+    meta = np.zeros((S, 16, 128), np.uint32)
+
+    def bitplane(row: int, mask: np.ndarray) -> None:
+        np.bitwise_or.at(
+            meta[:, row, :], (scf[mask], linf[mask] >> 5),
+            np.uint32(1) << (linf[mask] & 31).astype(np.uint32))
+
+    bitplane(0, occ)
+    bitplane(1, loaded)
+
+    lodb = ((iv >> BRICK_LOD_SHIFT) & np.uint32(0xFF)).ravel()
+    lodrows = np.zeros((S, pc // 4), np.uint32)
+    np.bitwise_or.at(
+        lodrows, (scf, linf >> 2),
+        lodb.astype(np.uint32) << ((linf & 3) * 8).astype(np.uint32))
+    meta[:, 2:10, :] = lodrows.reshape(S, 8, 128)
+
+    # Cell-indexed transposed brick payloads as exact u16 halves in f32.
+    poolT = np.zeros((S, 2 * cm, pc), np.float32)
+    gslot = (pool_base[scf[loaded]]
+             + (iv.ravel()[loaded] & np.uint32(BRICK_INDEX_BITS))
+             .astype(np.int64))
+    words = pool[gslot]                           # [M, 16] uint32
+    poolT[scf[loaded], 0::2, linf[loaded]] = \
+        (words & np.uint32(0xFFFF)).astype(np.float32)
+    poolT[scf[loaded], 1::2, linf[loaded]] = \
+        (words >> 16).astype(np.float32)
+
+    # Page-level Chebyshev distance (empty-space skipping across superchunks).
+    page_occ = occ.reshape(cz, cy, cx).reshape(
+        cz // s, s, cy // s, s, cx // s, s).any(axis=(1, 3, 5))
+    dist3 = chebyshev_distance_field(page_occ, cap=255)
+    sc_dist = np.zeros(S, np.int32)
+    qz, qy, qx = np.meshgrid(np.arange(cz // s), np.arange(cy // s),
+                             np.arange(cx // s), indexing="ij")
+    sc_dist[qx.ravel() + qy.ravel() * sx + qz.ravel() * sx * sx] = \
+        dist3.ravel()
+    nr4 = -(-S // 1024)
+    sc_dist = np.pad(sc_dist, (0, nr4 * 1024 - S)).reshape(nr4, 8, 128)
+
+    return PagedScene(meta=meta, poolT=poolT, sc_dist=sc_dist)

@@ -1,0 +1,636 @@
+"""Hierarchical 3-level Pallas traversal kernel (the flagship hot path).
+
+Fuses the reference's entire per-thread traversal (``voxel.cuh:135-261``:
+top brick-grid DDA -> LoD pick -> 2x2x2 byte DDA -> 8x8x8 brick DDA, plus the
+streaming-request branch) into one TPU kernel over [8, 128] ray tiles, using
+the page-major scene layout of :mod:`brickmap_tpu.pallas.paged`.
+
+TPU mapping (costs measured on v5e, notes/PERF.md round 2):
+
+* **Page voting**: lanes in a tile vote (min-reduce) for the superchunk page
+  to process; the page's occupancy/loaded bit-rows + LoD bytes (one 8 KB DMA)
+  and its transposed cell-pool (512 KB DMA) stream HBM->VMEM while marching
+  proceeds.  This replaces the reference's CPU->GPU brick streaming with
+  HBM->VMEM paging — residency is address translation, not transport.
+* **Cell marching**: one occupancy-bit test per step via a broadcast row +
+  lane-gather (~0.1 us per 1024-ray step); same Amanatides-Woo arithmetic as
+  :func:`brickmap_tpu.ops.traverse.trace_rays` (oracle-parity).
+* **Empty-page transit**: page-granular Chebyshev distances allow multi-cell
+  jumps through empty superchunks with the exact ESS jump arithmetic of the
+  XLA path (radius derived from the page distance field).
+* **Descends**: batched per phase; the LoD byte comes from a 1024-entry
+  register gather (~0.1 us/tile), brick payloads from a one-hot MXU matmul
+  against the page's [32, 4096] half-word pool (no per-lane HBM gathers).
+* **Divergence**: lanes stall while their page is not voted; coherent tiles
+  (square pixel blocks) keep stalls low.  Rays exhausting the page-round
+  budget report ``exhausted`` instead of silently missing.
+
+Loop state is int32/float32 registers only (boolean carries crash Mosaic).
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import GridConfig
+from ..ops.traverse import aabb_clip
+
+__all__ = ["trace_rays_paged"]
+
+BIG = 1_000_000.0
+NEG = -1_000_000.0
+LANES = 8 * 128
+
+
+def _bcast_row(row128, rows: int = 8):
+    """(128,) -> (rows, 128) broadcast."""
+    return jax.lax.broadcast_in_dim(row128, (rows, 128), (1,))
+
+
+def _arb1024(table, idx):
+    """Arbitrary per-lane gather from an (8,128) register table; idx in
+    [0, 1024).  8 row-broadcast lane-gathers + select (~93 ns measured)."""
+    row, col = (idx >> 7) & 7, idx & 127
+    out = jnp.zeros((8, 128), table.dtype)
+    for r in range(8):
+        g = jnp.take_along_axis(_bcast_row(table[r]), col, axis=1)
+        out = jnp.where(row == r, g, out)
+    return out
+
+
+def _gather_scdist(scd, sc):
+    """Per-lane page distance from the [NR4, 8, 128] packed table."""
+    nr4 = scd.shape[0]
+    reg = sc >> 10
+    rem = sc & 1023
+    out = _arb1024(scd[0], rem)
+    for k in range(1, nr4):
+        out = jnp.where(reg == k, _arb1024(scd[k], rem), out)
+    return out
+
+
+def _sel3(ax, x, y, z):
+    return jnp.where(ax == 0, x, jnp.where(ax == 1, y, z))
+
+
+def _sel_axis(tx, ty, tz):
+    """Step-axis priority (voxel.cuh:249): x iff strictly smallest, else y if
+    y<=x and y<z, else z."""
+    return jnp.where(tx < ty, jnp.where(tx < tz, 0, 2),
+                     jnp.where(ty < tz, 1, 2)).astype(jnp.int32)
+
+
+def _fetch_bricks(poolT, slot):
+    """One-hot MXU fetch: 16 uint32 brick words per lane from the page pool.
+
+    poolT: (32, 4096) f32 — u16 halves (rows 2k = lo, 2k+1 = hi of word k).
+    slot: (8, 128) i32 in-page cell index.  Returns 16 (8,128) int32 words.
+    """
+    f32 = jnp.float32
+    cell_iota = jax.lax.broadcasted_iota(jnp.int32, (4096, 128), 0)
+    chunks = []
+    for s in range(8):
+        srow = jax.lax.broadcast_in_dim(slot[s], (4096, 128), (1,))
+        ohT = (srow == cell_iota).astype(f32)
+        chunks.append(jnp.dot(poolT, ohT, preferred_element_type=f32))
+    words = []
+    for k in range(16):
+        lo = jnp.concatenate([c[2 * k:2 * k + 1] for c in chunks], 0)
+        hi = jnp.concatenate([c[2 * k + 1:2 * k + 2] for c in chunks], 0)
+        words.append(lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16))
+    return words
+
+
+def _sel16(words, widx):
+    """16-way word select (per-step brick word, ~32 ns/tile)."""
+    def sel4(i2, a, b, c, d):
+        return jnp.where(i2 == 0, a,
+                         jnp.where(i2 == 1, b, jnp.where(i2 == 2, c, d)))
+
+    lo = widx & 3
+    g = [sel4(lo, *words[k * 4:(k + 1) * 4]) for k in range(4)]
+    return sel4((widx >> 2) & 3, *g)
+
+
+def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
+                 phase_iters: int, use_lod: bool, nr4: int):
+    """Build the kernel body (static geometry baked in)."""
+    i32, f32 = jnp.int32, jnp.float32
+    s = grid.supergrid_cell_size            # 16
+    sx_pages = grid.supergrid_xy
+    cx_max = cy_max = grid.cells
+    cz_max = grid.cells_height
+    bsz = grid.brick_size                   # 8
+    eps = float(grid.epsilon)
+    lod8 = int(grid.lod_distance_8)
+    lod2 = int(grid.lod_distance_2)
+
+    def sub_dda(o3, d3, sd3, nd, ncode, occupancy_fn, ext: int, max_steps: int,
+                mask):
+        """Shared 2x2x2 / 8x8x8 sub-DDA (voxel.cuh:26-133) on stalled lanes.
+
+        o3/d3: ray origin (cell units) / direction components; sd3 = (sign_i,
+        rd, tdelta) per axis.  Returns (hit_i, sub_t, hit_ncode, = masked).
+        """
+        scale = f32(2.0) if ext == 2 else f32(float(bsz))
+        n_eps = f32(0.2 * eps) if ext == 2 else f32(eps)
+        (ox, oy, oz), (dx, dy, dz) = o3, d3
+        (six, rdx, tdx), (siy, rdy, tdy), (siz, rdz, tdz) = sd3
+
+        # Entry normal components from ncode (-1 = caller's entry normal;
+        # those lanes get the nudge applied outside via en*).
+        def axis_setup(o, d, rd, n_a):
+            so = (o + d * nd) * scale - n_a * n_eps
+            p = jnp.trunc(so).astype(i32)
+            cb = jnp.where(d > 0, p.astype(f32) + 1.0, p.astype(f32))
+            t = jnp.where(d != 0.0, (cb - so) * rd, f32(BIG))
+            # C trunc-mod (operands can be epsilon-negative at the low faces).
+            m = jnp.where(p >= 0, p % ext, -((-p) % ext))
+            return m, t
+
+        nax, nay, naz = _ncode_normal(ncode, dx, dy, dz)
+        px, tx = axis_setup(ox, dx, rdx, nax)
+        py, ty = axis_setup(oy, dy, rdy, nay)
+        pz, tz = axis_setup(oz, dz, rdz, naz)
+        outx = jnp.where(dx > 0, ext, -1)
+        outy = jnp.where(dy > 0, ext, -1)
+        outz = jnp.where(dz > 0, ext, -1)
+
+        def body(_, c):
+            px, py, pz, tx, ty, tz, axs, act, hit, subt, hcode = c
+            occ = occupancy_fn(px, py, pz) & (act != 0)
+            newhit = occ.astype(i32)
+            entered = axs >= 0
+            t_ax = _sel3(axs, tx, ty, tz)
+            td_ax = _sel3(axs, tdx, tdy, tdz)
+            tval = jnp.where(entered, t_ax - td_ax, 0.0)
+            subt = jnp.where(occ, tval, subt)
+            hcode = jnp.where(occ, jnp.where(entered, axs, ncode), hcode)
+            hit = hit | newhit
+            act = act & (~occ).astype(i32)
+
+            ax = _sel_axis(tx, ty, tz)
+            pxn = px + jnp.where(ax == 0, six, 0)
+            pyn = py + jnp.where(ax == 1, siy, 0)
+            pzn = pz + jnp.where(ax == 2, siz, 0)
+            exited = (_sel3(ax, pxn, pyn, pzn)
+                      == _sel3(ax, outx, outy, outz))
+            txn = tx + jnp.where(ax == 0, tdx, 0.0)
+            tyn = ty + jnp.where(ax == 1, tdy, 0.0)
+            tzn = tz + jnp.where(ax == 2, tdz, 0.0)
+            actb = act != 0
+            px = jnp.where(actb, pxn, px)
+            py = jnp.where(actb, pyn, py)
+            pz = jnp.where(actb, pzn, pz)
+            tx = jnp.where(actb, txn, tx)
+            ty = jnp.where(actb, tyn, ty)
+            tz = jnp.where(actb, tzn, tz)
+            axs = jnp.where(actb, ax, axs)
+            act = act & (~exited).astype(i32)
+            return (px, py, pz, tx, ty, tz, axs, act, hit, subt, hcode)
+
+        init = (px, py, pz, tx, ty, tz, jnp.full((8, 128), -1, i32),
+                mask.astype(i32), jnp.zeros((8, 128), i32),
+                jnp.zeros((8, 128), f32), jnp.full((8, 128), -1, i32))
+        out = jax.lax.fori_loop(0, max_steps, body, init)
+        return out[8], out[9], out[10]
+
+    def _ncode_normal(ncode, dx, dy, dz):
+        """Normal components from the axis code (-1 -> zeros; the caller adds
+        the entry normal for that case)."""
+        def comp(a, d):
+            return jnp.where(ncode == a, -jnp.sign(d), 0.0)
+
+        return comp(0, dx), comp(1, dy), comp(2, dz)
+
+    def kernel(cam_ref, scd_ref, meta_hbm, poolT_hbm,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               enx_ref, eny_ref, enz_ref, act_ref,
+               hit_ref, t_ref, ncode_ref, req_ref, reqpos_ref, exh_ref,
+               meta_s, poolT_s, sem_meta, sem_pool):
+        camx, camy, camz = cam_ref[0], cam_ref[1], cam_ref[2]
+        scd = scd_ref[:]
+
+        ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+        dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+        enx, eny, enz = enx_ref[0], eny_ref[0], enz_ref[0]
+
+        def setup(d):
+            si = jnp.sign(d).astype(i32)
+            rd = jnp.where(d == 0.0, 0.0, 1.0 / d).astype(f32)
+            return si, rd, si.astype(f32) * rd
+
+        six, rdx, tdx = setup(dx)
+        siy, rdy, tdy = setup(dy)
+        siz, rdz, tdz = setup(dz)
+
+        def dda_init(o, d, rd):
+            p = jnp.trunc(o).astype(i32)
+            cb = jnp.where(d > 0, p.astype(f32) + 1.0, p.astype(f32))
+            t = jnp.where(d != 0.0, (cb - o) * rd, f32(BIG))
+            return p, t
+
+        px, tx = dda_init(ox, dx, rdx)
+        py, ty = dda_init(oy, dy, rdy)
+        pz, tz = dda_init(oz, dz, rdz)
+        inside = ((px >= 0) & (px < cx_max) & (py >= 0) & (py < cy_max)
+                  & (pz >= 0) & (pz < cz_max))
+        alive = (act_ref[0] != 0) & inside
+
+        o3 = (ox, oy, oz)
+        d3 = (dx, dy, dz)
+        sd3 = ((six, rdx, tdx), (siy, rdy, tdy), (siz, rdz, tdz))
+
+        zero_i = jnp.zeros((8, 128), i32)
+        zero_f = jnp.zeros((8, 128), f32)
+
+        st = dict(
+            rnd=jnp.int32(0),
+            alive=alive.astype(i32),
+            px=px, py=py, pz=pz, tx=tx, ty=ty, tz=tz,
+            axis0=jnp.full((8, 128), -1, i32),
+            ncode=jnp.full((8, 128), -1, i32),
+            nd=zero_f,
+            wanty=zero_i, wantb=zero_i, skip=zero_i,
+            hit=zero_i, thit=zero_f, req=zero_i, reqpos=zero_i,
+        )
+
+        def page_of(px, py, pz):
+            return (px >> 4) + (py >> 4) * sx_pages \
+                + (pz >> 4) * sx_pages * sx_pages
+
+        def cond(st):
+            return jnp.logical_and(st["rnd"] < max_page_rounds,
+                                   jnp.max(st["alive"]) > 0)
+
+        def round_body(st):
+            alive = st["alive"] != 0
+            sc = page_of(st["px"], st["py"], st["pz"])
+            sc = jnp.where(alive, sc, 0x3FFFFFFF)
+            dpage = _gather_scdist(scd, jnp.clip(sc, 0, nr4 * 1024 - 1))
+            stalled_lvl0 = alive & (st["wanty"] + st["wantb"] == 0)
+            need = (alive & (dpage == 0)) | (alive & (st["wanty"]
+                                                      + st["wantb"] > 0))
+            vote = jnp.where(need, sc, 0x3FFFFFFF)
+            page_needed = jnp.min(vote)
+            page_any = jnp.min(sc)
+            page = jnp.where(page_needed < 0x3FFFFFFF, page_needed,
+                             page_any)
+            page = jnp.clip(page, 0, meta_hbm.shape[0] - 1)
+
+            cp_meta = pltpu.make_async_copy(meta_hbm.at[page], meta_s,
+                                            sem_meta)
+            cp_meta.start()
+            cp_pool = pltpu.make_async_copy(poolT_hbm.at[page], poolT_s,
+                                            sem_pool)
+            cp_pool.start()
+            cp_meta.wait()
+            occ_row = _bcast_row(meta_s[0])
+            loaded_row = _bcast_row(meta_s[1])
+            lod_tab = meta_s[2:10]
+
+            def phase(_, st):
+                def march(_, st):
+                    alive = st["alive"] != 0
+                    px, py, pz = st["px"], st["py"], st["pz"]
+                    tx, ty, tz = st["tx"], st["ty"], st["tz"]
+                    axis0 = st["axis0"]
+                    sc = page_of(px, py, pz)
+                    in_voted = sc == page
+                    dpage = _gather_scdist(
+                        scd, jnp.clip(jnp.where(alive, sc, 0), 0,
+                                      nr4 * 1024 - 1))
+                    marching = alive & (st["wanty"] + st["wantb"] == 0)
+
+                    # ---- test (voted page, not resuming from a sub-miss) --
+                    lin = ((pz & 15) * s + (py & 15)) * s + (px & 15)
+                    w = jnp.take_along_axis(occ_row, (lin >> 5) & 127, axis=1)
+                    occ_bit = ((w >> (lin & 31)) & 1) != 0
+                    testing = marching & in_voted & (st["skip"] == 0)
+                    occ0 = testing & occ_bit
+
+                    entered = axis0 >= 0
+                    t_ax = _sel3(axis0, tx, ty, tz)
+                    td_ax = _sel3(axis0, tdx, tdy, tdz)
+                    nd_new = jnp.where(entered, t_ax - td_ax, 0.0)
+                    ncode_new = jnp.where(entered, axis0, st["ncode"])
+
+                    dxc, dyc, dzc = camx - px, camy - py, camz - pz
+                    d2 = dxc * dxc + dyc * dyc + dzc * dzc
+                    if use_lod:
+                        far = d2 > lod8
+                        mid = (~far) & (d2 > lod2)
+                    else:
+                        far = jnp.zeros((8, 128), bool)
+                        mid = jnp.zeros((8, 128), bool)
+                    near = ~far & ~mid
+                    lw = jnp.take_along_axis(loaded_row, (lin >> 5) & 127,
+                                             axis=1)
+                    is_loaded = ((lw >> (lin & 31)) & 1) != 0
+
+                    hit_far = occ0 & far
+                    want_byte = occ0 & mid
+                    want_brick = occ0 & near & is_loaded
+                    hit_unl = occ0 & near & ~is_loaded
+                    coarse = hit_far | hit_unl
+
+                    new_hit = st["hit"] | coarse.astype(i32)
+                    new_t = jnp.where(coarse, nd_new * bsz, st["thit"])
+                    new_ncode = jnp.where(coarse | want_byte | want_brick,
+                                          ncode_new, st["ncode"])
+                    new_req = st["req"] | hit_unl.astype(i32)
+                    pack = px | (py << 10) | (pz << 20)
+                    new_reqpos = jnp.where(hit_unl, pack, st["reqpos"])
+                    new_nd = jnp.where(want_byte | want_brick, nd_new,
+                                       st["nd"])
+                    alive2 = alive & ~coarse
+
+                    # ---- step (empty cell / sub-miss resume / transit) ----
+                    stepping = ((testing & ~occ0)
+                                | (marching & in_voted & (st["skip"] != 0))
+                                | (marching & ~in_voted & (dpage >= 1)))
+                    stepping = stepping & alive2
+
+                    # ESS radius: voted-page lanes step single cells; lanes in
+                    # an empty page jump across the page-distance safe box.
+                    qx, qy, qz = px >> 4, py >> 4, pz >> 4
+                    dm1 = jnp.maximum(dpage - 1, 0)
+                    rx = jnp.minimum(px - (qx - dm1) * s,
+                                     (qx + dm1) * s + (s - 1) - px)
+                    ry = jnp.minimum(py - (qy - dm1) * s,
+                                     (qy + dm1) * s + (s - 1) - py)
+                    rz = jnp.minimum(pz - (qz - dm1) * s,
+                                     (qz + dm1) * s + (s - 1) - pz)
+                    skip_r = jnp.clip(jnp.minimum(rx, jnp.minimum(ry, rz)),
+                                      0, None)
+                    use_skip = stepping & ~in_voted & (dpage >= 1) \
+                        & (skip_r >= 1)
+
+                    rf = skip_r.astype(f32)
+                    t_exit = jnp.minimum(
+                        jnp.minimum(jnp.where(dx != 0, tx + rf * tdx, BIG),
+                                    jnp.where(dy != 0, ty + rf * tdy, BIG)),
+                        jnp.where(dz != 0, tz + rf * tdz, BIG))
+
+                    def k_axis(d, t, td):
+                        k = jnp.where(
+                            d != 0.0,
+                            jnp.floor((t_exit - t)
+                                      / jnp.where(td == 0, 1.0, td))
+                            .astype(i32) + 1, 0)
+                        return jnp.clip(k, 0, skip_r + 1)
+
+                    t_axis1 = _sel_axis(tx, ty, tz)
+                    kx1 = jnp.where(t_axis1 == 0, 1, 0)
+                    ky1 = jnp.where(t_axis1 == 1, 1, 0)
+                    kz1 = jnp.where(t_axis1 == 2, 1, 0)
+                    kx = jnp.where(use_skip, k_axis(dx, tx, tdx), kx1)
+                    ky = jnp.where(use_skip, k_axis(dy, ty, tdy), ky1)
+                    kz = jnp.where(use_skip, k_axis(dz, tz, tdz), kz1)
+                    stuck = use_skip & (kx + ky + kz == 0)
+                    kx = jnp.where(stuck, kx1, kx)
+                    ky = jnp.where(stuck, ky1, ky)
+                    kz = jnp.where(stuck, kz1, kz)
+
+                    pxn = px + six * kx
+                    pyn = py + siy * ky
+                    pzn = pz + siz * kz
+                    txn = tx + kx.astype(f32) * tdx
+                    tyn = ty + ky.astype(f32) * tdy
+                    tzn = tz + kz.astype(f32) * tdz
+                    tlx = jnp.where(kx > 0, txn - tdx, NEG)
+                    tly = jnp.where(ky > 0, tyn - tdy, NEG)
+                    tlz = jnp.where(kz > 0, tzn - tdz, NEG)
+                    t_axis = jnp.where(
+                        tlx > tly,
+                        jnp.where(tlx > tlz, 0, 2),
+                        jnp.where(tly > tlz, 1, 2)).astype(i32)
+                    exited = (((dx > 0) & (pxn >= cx_max))
+                              | ((dx < 0) & (pxn < 0))
+                              | ((dy > 0) & (pyn >= cy_max))
+                              | ((dy < 0) & (pyn < 0))
+                              | ((dz > 0) & (pzn >= cz_max))
+                              | ((dz < 0) & (pzn < 0)))
+                    miss = stepping & exited
+                    alive3 = alive2 & ~miss
+
+                    return dict(
+                        st,
+                        alive=alive3.astype(i32),
+                        px=jnp.where(stepping, pxn, px),
+                        py=jnp.where(stepping, pyn, py),
+                        pz=jnp.where(stepping, pzn, pz),
+                        tx=jnp.where(stepping, txn, tx),
+                        ty=jnp.where(stepping, tyn, ty),
+                        tz=jnp.where(stepping, tzn, tz),
+                        axis0=jnp.where(stepping, t_axis, axis0),
+                        ncode=new_ncode, nd=new_nd,
+                        wanty=st["wanty"] | want_byte.astype(i32),
+                        wantb=st["wantb"] | want_brick.astype(i32),
+                        skip=jnp.where(stepping, 0, st["skip"]),
+                        hit=new_hit, thit=new_t,
+                        req=new_req, reqpos=new_reqpos,
+                    )
+
+                st = jax.lax.fori_loop(0, march_steps, march, st)
+
+                # ---- byte descends (2x2x2 over the LoD byte) --------------
+                sc_now = page_of(st["px"], st["py"], st["pz"])
+                yb = (st["alive"] != 0) & (st["wanty"] != 0) \
+                    & (sc_now == page)
+
+                def do_byte(st):
+                    lin = (((st["pz"] & 15) * s + (st["py"] & 15)) * s
+                           + (st["px"] & 15))
+                    lodw = _arb1024(lod_tab, (lin >> 2) & 1023)
+                    byte = (lodw >> ((lin & 3) * 8)) & 0xFF
+
+                    def occ_fn(bx, by, bz):
+                        b = jnp.clip(bx + by * 2 + bz * 4, 0, 7)
+                        return ((byte >> b) & 1) != 0
+
+                    hb, subt, hcode = sub_dda(o3, d3, sd3, st["nd"],
+                                              st["ncode"], occ_fn, 2, 4, yb)
+                    hitb = hb != 0
+                    return dict(
+                        st,
+                        hit=st["hit"] | hb,
+                        thit=jnp.where(hitb, st["nd"] * bsz + subt * 4.0,
+                                       st["thit"]),
+                        ncode=jnp.where(hitb & (hcode >= 0), hcode,
+                                        st["ncode"]),
+                        alive=st["alive"] & ~hb,
+                        wanty=jnp.where(yb, 0, st["wanty"]),
+                        skip=st["skip"] | (yb & ~hitb).astype(i32),
+                    )
+
+                st = jax.lax.cond(jnp.max(yb.astype(i32)) > 0, do_byte,
+                                  lambda st: st, st)
+
+                # ---- brick descends (8x8x8 over pool payload) -------------
+                sc_now = page_of(st["px"], st["py"], st["pz"])
+                bb = (st["alive"] != 0) & (st["wantb"] != 0) \
+                    & (sc_now == page)
+
+                def do_brick(st):
+                    cp_pool.wait()
+                    lin = (((st["pz"] & 15) * s + (st["py"] & 15)) * s
+                           + (st["px"] & 15))
+                    slot = jnp.where(bb, lin, 0)
+                    words = _fetch_bricks(poolT_s[:], slot)
+
+                    def occ_fn(bx, by, bz):
+                        l = jnp.clip(bx + by * bsz + bz * bsz * bsz, 0,
+                                     bsz ** 3 - 1)
+                        w = _sel16(words, (l >> 5) & 15)
+                        return ((w >> (l & 31)) & 1) != 0
+
+                    hb, subt, hcode = sub_dda(o3, d3, sd3, st["nd"],
+                                              st["ncode"], occ_fn, bsz,
+                                              3 * bsz - 2, bb)
+                    hitb = hb != 0
+                    return dict(
+                        st,
+                        hit=st["hit"] | hb,
+                        thit=jnp.where(hitb, st["nd"] * bsz + subt,
+                                       st["thit"]),
+                        ncode=jnp.where(hitb & (hcode >= 0), hcode,
+                                        st["ncode"]),
+                        alive=st["alive"] & ~hb,
+                        wantb=jnp.where(bb, 0, st["wantb"]),
+                        skip=st["skip"] | (bb & ~hitb).astype(i32),
+                    )
+
+                st = jax.lax.cond(jnp.max(bb.astype(i32)) > 0, do_brick,
+                                  lambda st: st, st)
+                return st
+
+            st = jax.lax.fori_loop(0, phase_iters, phase, st)
+            # A pool DMA that no brick batch consumed must still be retired
+            # before the next round reuses the semaphore.
+            cp_pool.wait()
+            return dict(st, rnd=st["rnd"] + 1)
+
+        st = jax.lax.while_loop(cond, round_body, st)
+
+        hit_ref[0] = st["hit"]
+        t_ref[0] = st["thit"]
+        ncode_ref[0] = st["ncode"]
+        req_ref[0] = st["req"]
+        reqpos_ref[0] = st["reqpos"]
+        exh_ref[0] = st["alive"]
+
+    return kernel
+
+
+@partial(jax.jit,
+         static_argnames=("grid", "max_page_rounds", "march_steps",
+                          "phase_iters", "use_lod", "interpret"))
+def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
+                max_page_rounds: int, march_steps: int, phase_iters: int,
+                use_lod: bool, interpret: bool):
+    t_tiles = comps[0].shape[0]
+    kernel = _make_kernel(grid, max_page_rounds=max_page_rounds,
+                          march_steps=march_steps, phase_iters=phase_iters,
+                          use_lod=use_lod, nr4=scd.shape[0])
+    tile = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out_sd = [
+        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # hit
+        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.float32),  # t (voxels)
+        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # ncode
+        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # request
+        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # reqpos
+        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # exhausted
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # cam
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sc_dist
+            pl.BlockSpec(memory_space=pl.ANY),    # meta (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # poolT (HBM)
+        ] + [tile] * 10,
+        out_specs=[tile] * 6,
+        out_shape=out_sd,
+        scratch_shapes=[
+            pltpu.VMEM((16, 128), jnp.uint32),       # meta page
+            pltpu.VMEM((32, 4096), jnp.float32),     # poolT page
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(cam, scd, meta, poolT, *comps)
+
+
+def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
+                     grid: GridConfig, max_page_rounds: int = 96,
+                     march_steps: int = 12, phase_iters: int = 2,
+                     use_lod: bool = True, interpret: bool = False):
+    """Trace rays with the fused hierarchical kernel.
+
+    Same contract/results as :func:`brickmap_tpu.ops.traverse.trace_rays`
+    (ray-for-ray oracle parity, tests/test_traverse.py), plus an
+    ``exhausted`` flag for budget-truncated lanes.  ``pscene`` is a
+    :class:`brickmap_tpu.pallas.paged.PagedScene`.
+    """
+    n = origin.shape[0]
+    ok, tminn, clipped, entry_normal = aabb_clip(origin, direction, grid)
+
+    pad = (-n) % LANES
+    t_tiles = (n + pad) // LANES
+
+    def comp(a, k, fill=0.0):
+        v = a[:, k].astype(jnp.float32)
+        if pad:
+            v = jnp.concatenate([v, jnp.full((pad,), fill, jnp.float32)])
+        return v.reshape(t_tiles, 8, 128)
+
+    o_cells = clipped / float(grid.brick_size)
+    comps = [comp(o_cells, 0), comp(o_cells, 1), comp(o_cells, 2),
+             comp(direction, 0, 1.0), comp(direction, 1, 1.0),
+             comp(direction, 2, 1.0),
+             comp(entry_normal, 0), comp(entry_normal, 1),
+             comp(entry_normal, 2)]
+    act = ok.astype(jnp.int32)
+    if pad:
+        act = jnp.concatenate([act, jnp.zeros((pad,), jnp.int32)])
+    comps.append(act.reshape(t_tiles, 8, 128))
+
+    cam = jnp.asarray(camera_brick_pos, jnp.int32)
+    hit, t, ncode, req, reqpos, exh = _paged_call(
+        cam, pscene.sc_dist, pscene.meta, pscene.poolT, tuple(comps), grid,
+        max_page_rounds, march_steps, phase_iters, use_lod, interpret)
+
+    def unpad(a):
+        return a.reshape(-1)[:n]
+
+    hit = unpad(hit) != 0
+    t = unpad(t) + tminn
+    ncode = unpad(ncode)
+    # Normal: axis code -> -sign(d[axis]); -1 -> entry normal (zeros when the
+    # ray started inside the world), matching the oracle (voxel.cuh:142-155).
+    d = direction
+    axis_n = jnp.stack(
+        [jnp.where(ncode == k, -jnp.sign(d[:, k]), 0.0) for k in range(3)],
+        axis=1).astype(jnp.float32)
+    normal = jnp.where((ncode >= 0)[:, None], axis_n, entry_normal)
+    rp = unpad(reqpos)
+    request_pos = jnp.stack([rp & 0x3FF, (rp >> 10) & 0x3FF,
+                             (rp >> 20) & 0x3FF], axis=1).astype(jnp.int32)
+    return dict(
+        hit=hit,
+        t=jnp.where(hit, t, 0.0),
+        normal=normal,
+        request=unpad(req) != 0,
+        request_pos=request_pos,
+        exhausted=unpad(exh) != 0,
+        iters=jnp.int32(0),
+    )

@@ -1,0 +1,156 @@
+"""Hierarchical Pallas kernel (pallas/traverse3.py) vs the scalar oracle.
+
+Runs the fused kernel in interpret mode on CPU against the exact same
+ray-for-ray parity checks as the XLA traversal (tests/test_traverse.py).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brickmap_tpu import scene as scene_mod
+from brickmap_tpu.config import GridConfig
+from brickmap_tpu.ops import dda_ref
+from brickmap_tpu.pallas.paged import build_paged_scene
+from brickmap_tpu.pallas.traverse3 import trace_rays_paged
+
+GRID1 = GridConfig(grid_size=128, grid_height=128)   # one page
+GRID4 = GridConfig(grid_size=256, grid_height=128)   # 2x2x1 pages
+CAM = np.array([0, 0, 0], np.int64)
+
+
+@pytest.fixture(scope="module")
+def box_scene():
+    dense = np.zeros((128, 128, 128), bool)
+    dense[16:48, 32:96, 32:96] = True
+    sc = scene_mod.scene_from_dense(dense, GRID1)
+    return sc, build_paged_scene(sc, GRID1)
+
+
+@pytest.fixture(scope="module")
+def noise_scene(rng):
+    dense = rng.random((128, 128, 128)) < 0.015
+    sc = scene_mod.scene_from_dense(dense, GRID1)
+    return sc, build_paged_scene(sc, GRID1)
+
+
+@pytest.fixture(scope="module")
+def multipage_scene(rng):
+    """2x2x1 pages with an empty page gap (exercises page votes + transit)."""
+    dense = np.zeros((128, 256, 256), bool)
+    dense[16:48, 16:80, 16:80] = True        # page (0,0,0)
+    dense[40:90, 180:240, 150:250] = True    # pages (1,*,0)
+    sc = scene_mod.scene_from_dense(dense, GRID4)
+    return sc, build_paged_scene(sc, GRID4)
+
+
+def run_both(sc, psc, origins, directions, cam=CAM, grid=GRID1, **kw):
+    res = trace_rays_paged(
+        jnp.asarray(origins, jnp.float32),
+        jnp.asarray(directions, jnp.float32),
+        psc, jnp.asarray(cam, jnp.int32), grid, interpret=True, **kw)
+    refs = [dda_ref.intersect_voxel(o, d, sc, grid, cam)
+            for o, d in zip(origins, directions)]
+    return res, refs
+
+
+def assert_match(res, refs, origins, directions, atol=2e-2):
+    hits = np.asarray(res["hit"])
+    ts = np.asarray(res["t"])
+    ns = np.asarray(res["normal"])
+    exh = np.asarray(res["exhausted"])
+    assert not exh.any(), f"{exh.sum()} lanes exhausted the page-round budget"
+    for i, r in enumerate(refs):
+        assert bool(hits[i]) == r.hit, (
+            f"ray {i}: o={origins[i]} d={directions[i]} "
+            f"vec={bool(hits[i])} ref={r.hit}")
+        if r.hit:
+            assert abs(float(ts[i]) - r.distance) < atol, (
+                f"ray {i}: o={origins[i]} d={directions[i]} "
+                f"t {float(ts[i])} vs {r.distance}")
+            np.testing.assert_allclose(ns[i], r.normal, atol=1e-5,
+                                       err_msg=f"ray {i} normal")
+
+
+def random_rays(rng, n, lo, hi):
+    origins = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+    directions = rng.normal(size=(n, 3)).astype(np.float32)
+    directions /= np.linalg.norm(directions, axis=1, keepdims=True)
+    return origins, directions
+
+
+def test_paged_matches_oracle_box(box_scene, rng):
+    sc, psc = box_scene
+    origins, directions = random_rays(rng, 48, [-20, -20, -20],
+                                      [148, 148, 148])
+    res, refs = run_both(sc, psc, origins, directions)
+    assert_match(res, refs, origins, directions)
+
+
+def test_paged_matches_oracle_noise(noise_scene, rng):
+    sc, psc = noise_scene
+    origins, directions = random_rays(rng, 48, [0, 0, 0], [128, 128, 128])
+    res, refs = run_both(sc, psc, origins, directions)
+    assert_match(res, refs, origins, directions)
+
+
+def test_paged_axis_aligned_and_degenerate(box_scene):
+    sc, psc = box_scene
+    origins = np.array([
+        [0.5, 64.0, 30.0], [127.5, 64.0, 30.0], [64.0, 0.5, 30.0],
+        [64.0, 64.0, 100.0], [0.5, 64.0, 100.0], [64.0, 64.0, 0.5],
+        [-10.0, 64.0, 30.0], [64.0, 64.0, 30.0],
+    ], np.float32)
+    directions = np.array([
+        [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, 0, -1],
+        [1, 0, 0], [0, 0, 1], [1, 0, 0], [1, 0, 0],
+    ], np.float32)
+    res, refs = run_both(sc, psc, origins, directions)
+    assert_match(res, refs, origins, directions)
+
+
+def test_paged_lod_distances(box_scene, rng):
+    sc, psc = box_scene
+    origins, directions = random_rays(rng, 24, [0, 0, 0], [128, 128, 128])
+    for cam in ([0, 0, 0], [400, 0, 0], [900, 0, 0]):
+        cam = np.asarray(cam, np.int64)
+        res, refs = run_both(sc, psc, origins, directions, cam=cam)
+        assert_match(res, refs, origins, directions)
+
+
+def test_paged_multipage(multipage_scene, rng):
+    sc, psc = multipage_scene
+    origins, directions = random_rays(rng, 64, [-20, -20, -20],
+                                      [276, 276, 148])
+    res, refs = run_both(sc, psc, origins, directions, grid=GRID4)
+    assert_match(res, refs, origins, directions)
+
+
+def test_paged_requests_streaming():
+    dense = np.zeros((128, 128, 128), bool)
+    dense[16:48, 32:96, 32:96] = True
+    sc = scene_mod.scene_from_dense(dense, GRID1, residency="streaming")
+    psc = build_paged_scene(sc, GRID1)
+    origins = np.array([[0.5, 64.0, 30.0], [64.0, 64.0, 100.0]], np.float32)
+    directions = np.array([[1, 0, 0], [0, 0, -1]], np.float32)
+    res, refs = run_both(sc, psc, origins, directions)
+    req = np.asarray(res["request"])
+    rp = np.asarray(res["request_pos"])
+    for i, r in enumerate(refs):
+        assert bool(req[i]) == (r.request is not None)
+        if r.request is not None:
+            assert tuple(rp[i]) == r.request
+    assert_match(res, refs, origins, directions)
+
+
+def test_paged_budget_exhaustion_flag(box_scene):
+    """A tiny page-round budget must be reported, not a silent miss."""
+    sc, psc = box_scene
+    origins = np.array([[0.5, 64.0, 30.0]], np.float32)
+    directions = np.array([[1.0, 0.0, 0.0]], np.float32)
+    res = trace_rays_paged(
+        jnp.asarray(origins), jnp.asarray(directions), psc,
+        jnp.asarray(CAM, jnp.int32), GRID1, interpret=True,
+        max_page_rounds=1, march_steps=1, phase_iters=1)
+    assert bool(np.asarray(res["exhausted"])[0])
+    assert not bool(np.asarray(res["hit"])[0])
