@@ -466,6 +466,7 @@ def trace_rays(origin, direction, index_volume, pool_words, pool_base,
         request_pos=jnp.stack([final["rqx"], final["rqy"], final["rqz"]],
                               axis=1),
         iters=final["it"],
+        exhausted=final["active"],
     )
 
 
@@ -852,6 +853,7 @@ def trace_rays_blocked(origin, direction, index_volume, block_words,
         request_pos=jnp.stack([final["rqx"], final["rqy"], final["rqz"]],
                               axis=1),
         iters=final["it"],
+        exhausted=final["active"],
     )
 
 

@@ -5,7 +5,7 @@ CPU->GPU on demand (``Scene.h:9-17``, ``Scene.cpp:200-252``).  The TPU-native
 equivalent keeps everything HBM-resident and reorganizes the scene around the
 *superchunk page* (16^3 brick cells) as the unit of on-chip locality:
 
-* ``meta``   uint32 [S, 16, 128] — one 8 KB row per page, DMA'd HBM->VMEM by
+* ``meta``   int32 [S, 16, 128] — one 8 KB row per page, DMA'd HBM->VMEM by
   the kernel when the page is voted:
 
   - row 0: occupancy bit per cell (any residency flag, the traversal's
@@ -16,11 +16,13 @@ equivalent keeps everything HBM-resident and reorganizes the scene around the
     variables.h:30), 4 packed per word;
   - rows 10-15: reserved (tile alignment).
 
-* ``poolT``  float32 [S, 32, 4096] — per-CELL brick payloads, transposed: row
-  2k / 2k+1 hold the lo/hi u16 half of occupancy word k for every cell
-  (exact in f32).  Cell-indexed, not slot-indexed: descends fetch payloads
-  with a one-hot MXU matmul straight from the page row — no slot/pool_base
-  indirection, no per-lane HBM gathers.  Empty/unloaded cells are zero rows.
+* ``poolT``  float32 [S, 64, 4096] — per-CELL brick payloads, transposed: rows
+  4k..4k+3 hold the four bytes (LSB first) of occupancy word k for every
+  cell.  Bytes (<= 255) are exact in bf16, so the kernel's one-hot MXU fetch
+  is lossless at the MXU's native default precision (f32 operands are
+  truncated to bf16 on the systolic array; u16 halves would round).
+  Cell-indexed, not slot-indexed: no slot/pool_base indirection, no per-lane
+  HBM gathers.  Empty/unloaded cells are zero rows.
 
 * ``sc_dist`` int32 [NR4, 8, 128] — page-level Chebyshev distance to the
   nearest non-empty page (0 for non-empty), packed 1024 pages per register
@@ -60,8 +62,10 @@ __all__ = ["PagedScene", "build_paged_scene"]
 class PagedScene:
     """Page-major scene tables (a JAX pytree; see module docstring)."""
 
-    meta: Array       # uint32 [S, 16, 128]
-    poolT: Array      # float32 [S, 32, 4096]
+    meta: Array       # int32 [S, 16, 128] (bit patterns; int32 keeps
+                      #   every in-kernel shift/mask single-dtype — mixed
+                      #   u32>>i32 shifts miscompile on Mosaic)
+    poolT: Array      # float32 [S, 64, 4096] (bytes of words)
     sc_dist: Array    # int32 [NR4, 8, 128]
 
     def tree_flatten(self):
@@ -132,16 +136,15 @@ def build_paged_scene(scene, grid: GridConfig) -> PagedScene:
         lodb.astype(np.uint32) << ((linf & 3) * 8).astype(np.uint32))
     meta[:, 2:10, :] = lodrows.reshape(S, 8, 128)
 
-    # Cell-indexed transposed brick payloads as exact u16 halves in f32.
-    poolT = np.zeros((S, 2 * cm, pc), np.float32)
+    # Cell-indexed transposed brick payloads as bytes in f32 (bf16-exact).
+    poolT = np.zeros((S, 4 * cm, pc), np.float32)
     gslot = (pool_base[scf[loaded]]
              + (iv.ravel()[loaded] & np.uint32(BRICK_INDEX_BITS))
              .astype(np.int64))
     words = pool[gslot]                           # [M, 16] uint32
-    poolT[scf[loaded], 0::2, linf[loaded]] = \
-        (words & np.uint32(0xFFFF)).astype(np.float32)
-    poolT[scf[loaded], 1::2, linf[loaded]] = \
-        (words >> 16).astype(np.float32)
+    for b in range(4):
+        poolT[scf[loaded], b::4, linf[loaded]] = \
+            ((words >> (8 * b)) & np.uint32(0xFF)).astype(np.float32)
 
     # Page-level Chebyshev distance (empty-space skipping across superchunks).
     page_occ = occ.reshape(cz, cy, cx).reshape(
@@ -155,4 +158,5 @@ def build_paged_scene(scene, grid: GridConfig) -> PagedScene:
     nr4 = -(-S // 1024)
     sc_dist = np.pad(sc_dist, (0, nr4 * 1024 - S)).reshape(nr4, 8, 128)
 
-    return PagedScene(meta=meta, poolT=poolT, sc_dist=sc_dist)
+    return PagedScene(meta=meta.view(np.int32), poolT=poolT,
+                      sc_dist=sc_dist)

@@ -9,18 +9,22 @@ TPU mapping (costs measured on v5e, notes/PERF.md round 2):
 
 * **Page voting**: lanes in a tile vote (min-reduce) for the superchunk page
   to process; the page's occupancy/loaded bit-rows + LoD bytes (one 8 KB DMA)
-  and its transposed cell-pool (512 KB DMA) stream HBM->VMEM while marching
-  proceeds.  This replaces the reference's CPU->GPU brick streaming with
-  HBM->VMEM paging — residency is address translation, not transport.
+  and its byte cell-pool (1 MB DMA) stream HBM->VMEM, overlapped with the
+  empty-page transit phase.  This replaces the reference's CPU->GPU brick
+  streaming with HBM->VMEM paging — residency is address translation, not
+  transport.
 * **Cell marching**: one occupancy-bit test per step via a broadcast row +
   lane-gather (~0.1 us per 1024-ray step); same Amanatides-Woo arithmetic as
-  :func:`brickmap_tpu.ops.traverse.trace_rays` (oracle-parity).
-* **Empty-page transit**: page-granular Chebyshev distances allow multi-cell
-  jumps through empty superchunks with the exact ESS jump arithmetic of the
-  XLA path (radius derived from the page distance field).
+  :func:`brickmap_tpu.ops.traverse.trace_rays` (oracle-parity).  The march
+  loop early-exits when no lane in the voted page can progress.
+* **Empty-page transit**: once per round (not per step), lanes whose page is
+  empty jump across the page-level Chebyshev safe box with the exact ESS
+  jump arithmetic of the XLA path.
 * **Descends**: batched per phase; the LoD byte comes from a 1024-entry
   register gather (~0.1 us/tile), brick payloads from a one-hot MXU matmul
-  against the page's [32, 4096] half-word pool (no per-lane HBM gathers).
+  against the page's [64, 4096] byte pool (bytes are exact in bf16 — the
+  MXU's default f32 path truncates operands to bf16, so wider integers would
+  round).
 * **Divergence**: lanes stall while their page is not voted; coherent tiles
   (square pixel blocks) keep stalls low.  Rays exhausting the page-round
   budget report ``exhausted`` instead of silently missing.
@@ -30,7 +34,6 @@ Loop state is int32/float32 registers only (boolean carries crash Mosaic).
 
 from __future__ import annotations
 
-import functools
 from functools import partial
 
 import jax
@@ -46,6 +49,7 @@ __all__ = ["trace_rays_paged"]
 BIG = 1_000_000.0
 NEG = -1_000_000.0
 LANES = 8 * 128
+DEAD_SC = 0x3FFFFFFF
 
 
 def _bcast_row(row128, rows: int = 8):
@@ -89,7 +93,9 @@ def _sel_axis(tx, ty, tz):
 def _fetch_bricks(poolT, slot):
     """One-hot MXU fetch: 16 uint32 brick words per lane from the page pool.
 
-    poolT: (32, 4096) f32 — u16 halves (rows 2k = lo, 2k+1 = hi of word k).
+    poolT: (64, 4096) f32 — byte b of word k in row 4k+b (bytes are exact in
+    bf16, so the MXU's default-precision f32 path is lossless; u16 halves
+    would round on the systolic array).
     slot: (8, 128) i32 in-page cell index.  Returns 16 (8,128) int32 words.
     """
     f32 = jnp.float32
@@ -101,9 +107,9 @@ def _fetch_bricks(poolT, slot):
         chunks.append(jnp.dot(poolT, ohT, preferred_element_type=f32))
     words = []
     for k in range(16):
-        lo = jnp.concatenate([c[2 * k:2 * k + 1] for c in chunks], 0)
-        hi = jnp.concatenate([c[2 * k + 1:2 * k + 2] for c in chunks], 0)
-        words.append(lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16))
+        by = [jnp.concatenate([c[4 * k + b:4 * k + b + 1] for c in chunks],
+                              0).astype(jnp.int32) for b in range(4)]
+        words.append(by[0] | (by[1] << 8) | (by[2] << 16) | (by[3] << 24))
     return words
 
 
@@ -119,7 +125,8 @@ def _sel16(words, widx):
 
 
 def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
-                 phase_iters: int, use_lod: bool, nr4: int):
+                 phase_iters: int, transit_iters: int, use_lod: bool,
+                 streaming: bool, nr4: int):
     """Build the kernel body (static geometry baked in)."""
     i32, f32 = jnp.int32, jnp.float32
     s = grid.supergrid_cell_size            # 16
@@ -131,20 +138,22 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
     lod8 = int(grid.lod_distance_8)
     lod2 = int(grid.lod_distance_2)
 
-    def sub_dda(o3, d3, sd3, nd, ncode, occupancy_fn, ext: int, max_steps: int,
-                mask):
-        """Shared 2x2x2 / 8x8x8 sub-DDA (voxel.cuh:26-133) on stalled lanes.
+    def _ncode_normal(ncode, dx, dy, dz):
+        """Normal components from the axis code (-1 -> zeros; the caller adds
+        the entry normal for that case)."""
+        def comp(a, d):
+            return jnp.where(ncode == a, -jnp.sign(d), 0.0)
 
-        o3/d3: ray origin (cell units) / direction components; sd3 = (sign_i,
-        rd, tdelta) per axis.  Returns (hit_i, sub_t, hit_ncode, = masked).
-        """
+        return comp(0, dx), comp(1, dy), comp(2, dz)
+
+    def sub_dda(o3, d3, sd3, nd, ncode, occupancy_fn, ext: int,
+                max_steps: int, mask):
+        """Shared 2x2x2 / 8x8x8 sub-DDA (voxel.cuh:26-133) on stalled lanes."""
         scale = f32(2.0) if ext == 2 else f32(float(bsz))
         n_eps = f32(0.2 * eps) if ext == 2 else f32(eps)
         (ox, oy, oz), (dx, dy, dz) = o3, d3
         (six, rdx, tdx), (siy, rdy, tdy), (siz, rdz, tdz) = sd3
 
-        # Entry normal components from ncode (-1 = caller's entry normal;
-        # those lanes get the nudge applied outside via en*).
         def axis_setup(o, d, rd, n_a):
             so = (o + d * nd) * scale - n_a * n_eps
             p = jnp.trunc(so).astype(i32)
@@ -201,25 +210,16 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
         out = jax.lax.fori_loop(0, max_steps, body, init)
         return out[8], out[9], out[10]
 
-    def _ncode_normal(ncode, dx, dy, dz):
-        """Normal components from the axis code (-1 -> zeros; the caller adds
-        the entry normal for that case)."""
-        def comp(a, d):
-            return jnp.where(ncode == a, -jnp.sign(d), 0.0)
-
-        return comp(0, dx), comp(1, dy), comp(2, dz)
-
     def kernel(cam_ref, scd_ref, meta_hbm, poolT_hbm,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                enx_ref, eny_ref, enz_ref, act_ref,
                hit_ref, t_ref, ncode_ref, req_ref, reqpos_ref, exh_ref,
-               meta_s, poolT_s, sem_meta, sem_pool):
+               rounds_ref, meta_s, poolT_s, sem_meta, sem_pool):
         camx, camy, camz = cam_ref[0], cam_ref[1], cam_ref[2]
         scd = scd_ref[:]
 
         ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
         dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-        enx, eny, enz = enx_ref[0], eny_ref[0], enz_ref[0]
 
         def setup(d):
             si = jnp.sign(d).astype(i32)
@@ -265,6 +265,27 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
             return (px >> 4) + (py >> 4) * sx_pages \
                 + (pz >> 4) * sx_pages * sx_pages
 
+        def step_arrays(px, py, pz, tx, ty, tz, kx, ky, kz):
+            """Advance by per-axis crossing counts; returns new p/t, the last
+            crossing axis (z-priority on ties) and the out-of-world mask."""
+            pxn = px + six * kx
+            pyn = py + siy * ky
+            pzn = pz + siz * kz
+            txn = tx + kx.astype(f32) * tdx
+            tyn = ty + ky.astype(f32) * tdy
+            tzn = tz + kz.astype(f32) * tdz
+            tlx = jnp.where(kx > 0, txn - tdx, NEG)
+            tly = jnp.where(ky > 0, tyn - tdy, NEG)
+            tlz = jnp.where(kz > 0, tzn - tdz, NEG)
+            t_axis = jnp.where(
+                tlx > tly,
+                jnp.where(tlx > tlz, 0, 2),
+                jnp.where(tly > tlz, 1, 2)).astype(i32)
+            exited = (((dx > 0) & (pxn >= cx_max)) | ((dx < 0) & (pxn < 0))
+                      | ((dy > 0) & (pyn >= cy_max)) | ((dy < 0) & (pyn < 0))
+                      | ((dz > 0) & (pzn >= cz_max)) | ((dz < 0) & (pzn < 0)))
+            return pxn, pyn, pzn, txn, tyn, tzn, t_axis, exited
+
         def cond(st):
             return jnp.logical_and(st["rnd"] < max_page_rounds,
                                    jnp.max(st["alive"]) > 0)
@@ -272,45 +293,118 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
         def round_body(st):
             alive = st["alive"] != 0
             sc = page_of(st["px"], st["py"], st["pz"])
-            sc = jnp.where(alive, sc, 0x3FFFFFFF)
-            dpage = _gather_scdist(scd, jnp.clip(sc, 0, nr4 * 1024 - 1))
-            stalled_lvl0 = alive & (st["wanty"] + st["wantb"] == 0)
-            need = (alive & (dpage == 0)) | (alive & (st["wanty"]
-                                                      + st["wantb"] > 0))
-            vote = jnp.where(need, sc, 0x3FFFFFFF)
+            sc_c = jnp.where(alive, sc, DEAD_SC)
+            dpage = _gather_scdist(scd, jnp.clip(sc_c, 0, nr4 * 1024 - 1))
+            need = alive & ((dpage == 0)
+                            | (st["wanty"] + st["wantb"] > 0))
+            vote = jnp.where(need, sc_c, DEAD_SC)
             page_needed = jnp.min(vote)
-            page_any = jnp.min(sc)
-            page = jnp.where(page_needed < 0x3FFFFFFF, page_needed,
-                             page_any)
+            page = jnp.where(page_needed < DEAD_SC, page_needed,
+                             jnp.min(sc_c))
             page = jnp.clip(page, 0, meta_hbm.shape[0] - 1)
 
+            # Page DMAs start now and retire exactly once per round (a second
+            # wait on a DMA semaphore faults the core); the transit phase
+            # below overlaps the copies.
             cp_meta = pltpu.make_async_copy(meta_hbm.at[page], meta_s,
                                             sem_meta)
             cp_meta.start()
             cp_pool = pltpu.make_async_copy(poolT_hbm.at[page], poolT_s,
                                             sem_pool)
             cp_pool.start()
+
+            # ---- transit: lanes in empty pages jump the Chebyshev safe box
+            # (page-granular ESS; same k arithmetic as ops.traverse).
+            def transit(_, st):
+                alive = st["alive"] != 0
+                marching = alive & (st["wanty"] + st["wantb"] == 0)
+                px, py, pz = st["px"], st["py"], st["pz"]
+                tx, ty, tz = st["tx"], st["ty"], st["tz"]
+                sc = page_of(px, py, pz)
+                dp = _gather_scdist(
+                    scd, jnp.clip(jnp.where(alive, sc, 0), 0,
+                                  nr4 * 1024 - 1))
+                moving = marching & (sc != page) & (dp >= 1)
+
+                qx, qy, qz = px >> 4, py >> 4, pz >> 4
+                dm1 = dp - 1
+                rx = jnp.minimum(px - (qx - dm1) * s,
+                                 (qx + dm1) * s + (s - 1) - px)
+                ry = jnp.minimum(py - (qy - dm1) * s,
+                                 (qy + dm1) * s + (s - 1) - py)
+                rz = jnp.minimum(pz - (qz - dm1) * s,
+                                 (qz + dm1) * s + (s - 1) - pz)
+                skip_r = jnp.clip(jnp.minimum(rx, jnp.minimum(ry, rz)),
+                                  0, None)
+                use_skip = moving & (skip_r >= 1)
+
+                rf = skip_r.astype(f32)
+                t_exit = jnp.minimum(
+                    jnp.minimum(jnp.where(dx != 0, tx + rf * tdx, BIG),
+                                jnp.where(dy != 0, ty + rf * tdy, BIG)),
+                    jnp.where(dz != 0, tz + rf * tdz, BIG))
+
+                def k_axis(d, t, td):
+                    k = jnp.where(
+                        d != 0.0,
+                        jnp.floor((t_exit - t)
+                                  / jnp.where(td == 0, 1.0, td))
+                        .astype(i32) + 1, 0)
+                    return jnp.clip(k, 0, skip_r + 1)
+
+                t_axis1 = _sel_axis(tx, ty, tz)
+                kx1 = jnp.where(t_axis1 == 0, 1, 0)
+                ky1 = jnp.where(t_axis1 == 1, 1, 0)
+                kz1 = jnp.where(t_axis1 == 2, 1, 0)
+                kx = jnp.where(use_skip, k_axis(dx, tx, tdx), kx1)
+                ky = jnp.where(use_skip, k_axis(dy, ty, tdy), ky1)
+                kz = jnp.where(use_skip, k_axis(dz, tz, tdz), kz1)
+                stuck = use_skip & (kx + ky + kz == 0)
+                kx = jnp.where(stuck, kx1, kx)
+                ky = jnp.where(stuck, ky1, ky)
+                kz = jnp.where(stuck, kz1, kz)
+
+                pxn, pyn, pzn, txn, tyn, tzn, t_axis, exited = step_arrays(
+                    px, py, pz, tx, ty, tz, kx, ky, kz)
+                miss = moving & exited
+                return dict(
+                    st,
+                    alive=(alive & ~miss).astype(i32),
+                    px=jnp.where(moving, pxn, px),
+                    py=jnp.where(moving, pyn, py),
+                    pz=jnp.where(moving, pzn, pz),
+                    tx=jnp.where(moving, txn, tx),
+                    ty=jnp.where(moving, tyn, ty),
+                    tz=jnp.where(moving, tzn, tz),
+                    axis0=jnp.where(moving, t_axis, st["axis0"]),
+                )
+
+            st = jax.lax.fori_loop(0, transit_iters, transit, st)
+
             cp_meta.wait()
+            cp_pool.wait()
             occ_row = _bcast_row(meta_s[0])
-            loaded_row = _bcast_row(meta_s[1])
+            loaded_row = _bcast_row(meta_s[1]) if streaming else occ_row
             lod_tab = meta_s[2:10]
 
             def phase(_, st):
-                def march(_, st):
+                # ---- march: in-voted-page cell DDA, early-exit while -------
+                def march_cond(c):
+                    it, cont, st = c
+                    return jnp.logical_and(it < march_steps, cont > 0)
+
+                def march(c):
+                    it, _, st = c
                     alive = st["alive"] != 0
                     px, py, pz = st["px"], st["py"], st["pz"]
                     tx, ty, tz = st["tx"], st["ty"], st["tz"]
                     axis0 = st["axis0"]
-                    sc = page_of(px, py, pz)
-                    in_voted = sc == page
-                    dpage = _gather_scdist(
-                        scd, jnp.clip(jnp.where(alive, sc, 0), 0,
-                                      nr4 * 1024 - 1))
+                    in_voted = page_of(px, py, pz) == page
                     marching = alive & (st["wanty"] + st["wantb"] == 0)
 
-                    # ---- test (voted page, not resuming from a sub-miss) --
                     lin = ((pz & 15) * s + (py & 15)) * s + (px & 15)
-                    w = jnp.take_along_axis(occ_row, (lin >> 5) & 127, axis=1)
+                    col = (lin >> 5) & 127
+                    w = jnp.take_along_axis(occ_row, col, axis=1)
                     occ_bit = ((w >> (lin & 31)) & 1) != 0
                     testing = marching & in_voted & (st["skip"] == 0)
                     occ0 = testing & occ_bit
@@ -321,18 +415,21 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                     nd_new = jnp.where(entered, t_ax - td_ax, 0.0)
                     ncode_new = jnp.where(entered, axis0, st["ncode"])
 
-                    dxc, dyc, dzc = camx - px, camy - py, camz - pz
-                    d2 = dxc * dxc + dyc * dyc + dzc * dzc
                     if use_lod:
+                        dxc, dyc, dzc = camx - px, camy - py, camz - pz
+                        d2 = dxc * dxc + dyc * dyc + dzc * dzc
                         far = d2 > lod8
                         mid = (~far) & (d2 > lod2)
+                        near = ~far & ~mid
                     else:
                         far = jnp.zeros((8, 128), bool)
-                        mid = jnp.zeros((8, 128), bool)
-                    near = ~far & ~mid
-                    lw = jnp.take_along_axis(loaded_row, (lin >> 5) & 127,
-                                             axis=1)
-                    is_loaded = ((lw >> (lin & 31)) & 1) != 0
+                        mid = far
+                        near = jnp.ones((8, 128), bool)
+                    if streaming:
+                        lw = jnp.take_along_axis(loaded_row, col, axis=1)
+                        is_loaded = ((lw >> (lin & 31)) & 1) != 0
+                    else:
+                        is_loaded = jnp.ones((8, 128), bool)
 
                     hit_far = occ0 & far
                     want_byte = occ0 & mid
@@ -351,76 +448,24 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                                        st["nd"])
                     alive2 = alive & ~coarse
 
-                    # ---- step (empty cell / sub-miss resume / transit) ----
-                    stepping = ((testing & ~occ0)
-                                | (marching & in_voted & (st["skip"] != 0))
-                                | (marching & ~in_voted & (dpage >= 1)))
+                    # ---- single-cell step (empty cell or sub-miss resume) --
+                    stepping = (testing & ~occ0) \
+                        | (marching & in_voted & (st["skip"] != 0))
                     stepping = stepping & alive2
 
-                    # ESS radius: voted-page lanes step single cells; lanes in
-                    # an empty page jump across the page-distance safe box.
-                    qx, qy, qz = px >> 4, py >> 4, pz >> 4
-                    dm1 = jnp.maximum(dpage - 1, 0)
-                    rx = jnp.minimum(px - (qx - dm1) * s,
-                                     (qx + dm1) * s + (s - 1) - px)
-                    ry = jnp.minimum(py - (qy - dm1) * s,
-                                     (qy + dm1) * s + (s - 1) - py)
-                    rz = jnp.minimum(pz - (qz - dm1) * s,
-                                     (qz + dm1) * s + (s - 1) - pz)
-                    skip_r = jnp.clip(jnp.minimum(rx, jnp.minimum(ry, rz)),
-                                      0, None)
-                    use_skip = stepping & ~in_voted & (dpage >= 1) \
-                        & (skip_r >= 1)
-
-                    rf = skip_r.astype(f32)
-                    t_exit = jnp.minimum(
-                        jnp.minimum(jnp.where(dx != 0, tx + rf * tdx, BIG),
-                                    jnp.where(dy != 0, ty + rf * tdy, BIG)),
-                        jnp.where(dz != 0, tz + rf * tdz, BIG))
-
-                    def k_axis(d, t, td):
-                        k = jnp.where(
-                            d != 0.0,
-                            jnp.floor((t_exit - t)
-                                      / jnp.where(td == 0, 1.0, td))
-                            .astype(i32) + 1, 0)
-                        return jnp.clip(k, 0, skip_r + 1)
-
-                    t_axis1 = _sel_axis(tx, ty, tz)
-                    kx1 = jnp.where(t_axis1 == 0, 1, 0)
-                    ky1 = jnp.where(t_axis1 == 1, 1, 0)
-                    kz1 = jnp.where(t_axis1 == 2, 1, 0)
-                    kx = jnp.where(use_skip, k_axis(dx, tx, tdx), kx1)
-                    ky = jnp.where(use_skip, k_axis(dy, ty, tdy), ky1)
-                    kz = jnp.where(use_skip, k_axis(dz, tz, tdz), kz1)
-                    stuck = use_skip & (kx + ky + kz == 0)
-                    kx = jnp.where(stuck, kx1, kx)
-                    ky = jnp.where(stuck, ky1, ky)
-                    kz = jnp.where(stuck, kz1, kz)
-
-                    pxn = px + six * kx
-                    pyn = py + siy * ky
-                    pzn = pz + siz * kz
-                    txn = tx + kx.astype(f32) * tdx
-                    tyn = ty + ky.astype(f32) * tdy
-                    tzn = tz + kz.astype(f32) * tdz
-                    tlx = jnp.where(kx > 0, txn - tdx, NEG)
-                    tly = jnp.where(ky > 0, tyn - tdy, NEG)
-                    tlz = jnp.where(kz > 0, tzn - tdz, NEG)
-                    t_axis = jnp.where(
-                        tlx > tly,
-                        jnp.where(tlx > tlz, 0, 2),
-                        jnp.where(tly > tlz, 1, 2)).astype(i32)
-                    exited = (((dx > 0) & (pxn >= cx_max))
-                              | ((dx < 0) & (pxn < 0))
-                              | ((dy > 0) & (pyn >= cy_max))
-                              | ((dy < 0) & (pyn < 0))
-                              | ((dz > 0) & (pzn >= cz_max))
-                              | ((dz < 0) & (pzn < 0)))
+                    ax = _sel_axis(tx, ty, tz)
+                    kx = jnp.where(ax == 0, 1, 0)
+                    ky = jnp.where(ax == 1, 1, 0)
+                    kz = jnp.where(ax == 2, 1, 0)
+                    pxn, pyn, pzn, txn, tyn, tzn, t_axis, exited = \
+                        step_arrays(px, py, pz, tx, ty, tz, kx, ky, kz)
                     miss = stepping & exited
                     alive3 = alive2 & ~miss
 
-                    return dict(
+                    # Lanes that just stepped within the voted page continue.
+                    cont = stepping & ~exited \
+                        & (page_of(pxn, pyn, pzn) == page)
+                    st = dict(
                         st,
                         alive=alive3.astype(i32),
                         px=jnp.where(stepping, pxn, px),
@@ -437,10 +482,12 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                         hit=new_hit, thit=new_t,
                         req=new_req, reqpos=new_reqpos,
                     )
+                    return it + 1, jnp.max(cont.astype(i32)), st
 
-                st = jax.lax.fori_loop(0, march_steps, march, st)
+                _, _, st = jax.lax.while_loop(
+                    march_cond, march, (jnp.int32(0), jnp.int32(1), st))
 
-                # ---- byte descends (2x2x2 over the LoD byte) --------------
+                # ---- byte descends (2x2x2 over the LoD byte) ---------------
                 sc_now = page_of(st["px"], st["py"], st["pz"])
                 yb = (st["alive"] != 0) & (st["wanty"] != 0) \
                     & (sc_now == page)
@@ -473,13 +520,12 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 st = jax.lax.cond(jnp.max(yb.astype(i32)) > 0, do_byte,
                                   lambda st: st, st)
 
-                # ---- brick descends (8x8x8 over pool payload) -------------
+                # ---- brick descends (8x8x8 over pool payload) --------------
                 sc_now = page_of(st["px"], st["py"], st["pz"])
                 bb = (st["alive"] != 0) & (st["wantb"] != 0) \
                     & (sc_now == page)
 
                 def do_brick(st):
-                    cp_pool.wait()
                     lin = (((st["pz"] & 15) * s + (st["py"] & 15)) * s
                            + (st["px"] & 15))
                     slot = jnp.where(bb, lin, 0)
@@ -512,9 +558,6 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 return st
 
             st = jax.lax.fori_loop(0, phase_iters, phase, st)
-            # A pool DMA that no brick batch consumed must still be retired
-            # before the next round reuses the semaphore.
-            cp_pool.wait()
             return dict(st, rnd=st["rnd"] + 1)
 
         st = jax.lax.while_loop(cond, round_body, st)
@@ -525,20 +568,24 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
         req_ref[0] = st["req"]
         reqpos_ref[0] = st["reqpos"]
         exh_ref[0] = st["alive"]
+        rounds_ref[0] = jnp.full((8, 128), st["rnd"], i32)
 
     return kernel
 
 
 @partial(jax.jit,
          static_argnames=("grid", "max_page_rounds", "march_steps",
-                          "phase_iters", "use_lod", "interpret"))
+                          "phase_iters", "transit_iters", "use_lod",
+                          "streaming", "interpret"))
 def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
                 max_page_rounds: int, march_steps: int, phase_iters: int,
-                use_lod: bool, interpret: bool):
+                transit_iters: int, use_lod: bool, streaming: bool,
+                interpret: bool):
     t_tiles = comps[0].shape[0]
     kernel = _make_kernel(grid, max_page_rounds=max_page_rounds,
                           march_steps=march_steps, phase_iters=phase_iters,
-                          use_lod=use_lod, nr4=scd.shape[0])
+                          transit_iters=transit_iters, use_lod=use_lod,
+                          streaming=streaming, nr4=scd.shape[0])
     tile = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     out_sd = [
@@ -548,6 +595,7 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
         jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # request
         jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # reqpos
         jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # exhausted
+        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # rounds
     ]
     return pl.pallas_call(
         kernel,
@@ -555,14 +603,14 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # cam
             pl.BlockSpec(memory_space=pltpu.VMEM),   # sc_dist
-            pl.BlockSpec(memory_space=pl.ANY),    # meta (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),    # poolT (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # meta (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # poolT (HBM)
         ] + [tile] * 10,
-        out_specs=[tile] * 6,
+        out_specs=[tile] * 7,
         out_shape=out_sd,
         scratch_shapes=[
-            pltpu.VMEM((16, 128), jnp.uint32),       # meta page
-            pltpu.VMEM((32, 4096), jnp.float32),     # poolT page
+            pltpu.VMEM((16, 128), jnp.int32),        # meta page
+            pltpu.VMEM((64, 4096), jnp.float32),     # poolT page
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -570,16 +618,22 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
     )(cam, scd, meta, poolT, *comps)
 
 
+@partial(jax.jit,
+         static_argnames=("grid", "max_page_rounds", "march_steps",
+                          "phase_iters", "transit_iters", "use_lod",
+                          "streaming", "interpret"))
 def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
                      grid: GridConfig, max_page_rounds: int = 96,
-                     march_steps: int = 12, phase_iters: int = 2,
-                     use_lod: bool = True, interpret: bool = False):
+                     march_steps: int = 48, phase_iters: int = 2,
+                     transit_iters: int = 2, use_lod: bool = True,
+                     streaming: bool = True, interpret: bool = False):
     """Trace rays with the fused hierarchical kernel.
 
     Same contract/results as :func:`brickmap_tpu.ops.traverse.trace_rays`
-    (ray-for-ray oracle parity, tests/test_traverse.py), plus an
+    (ray-for-ray oracle parity, tests/test_traverse3.py), plus an
     ``exhausted`` flag for budget-truncated lanes.  ``pscene`` is a
-    :class:`brickmap_tpu.pallas.paged.PagedScene`.
+    :class:`brickmap_tpu.pallas.paged.PagedScene`.  ``streaming=False``
+    asserts full residency (skips the loaded-plane lookups).
     """
     n = origin.shape[0]
     ok, tminn, clipped, entry_normal = aabb_clip(origin, direction, grid)
@@ -605,9 +659,10 @@ def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
     comps.append(act.reshape(t_tiles, 8, 128))
 
     cam = jnp.asarray(camera_brick_pos, jnp.int32)
-    hit, t, ncode, req, reqpos, exh = _paged_call(
+    hit, t, ncode, req, reqpos, exh, rounds = _paged_call(
         cam, pscene.sc_dist, pscene.meta, pscene.poolT, tuple(comps), grid,
-        max_page_rounds, march_steps, phase_iters, use_lod, interpret)
+        max_page_rounds, march_steps, phase_iters, transit_iters, use_lod,
+        streaming, interpret)
 
     def unpad(a):
         return a.reshape(-1)[:n]
@@ -632,5 +687,5 @@ def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
         request=unpad(req) != 0,
         request_pos=request_pos,
         exhausted=unpad(exh) != 0,
-        iters=jnp.int32(0),
+        iters=jnp.max(rounds),
     )

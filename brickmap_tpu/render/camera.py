@@ -17,7 +17,8 @@ import numpy as np
 
 from .sampling import concentric_disk, stratified_2d
 
-__all__ = ["Camera", "camera_basis", "primary_rays"]
+__all__ = ["Camera", "camera_basis", "camera_arrays_for", "primary_rays",
+           "primary_rays_from_arrays"]
 
 
 @dataclass(frozen=True)
@@ -62,22 +63,30 @@ def camera_basis(camera: Camera, width: int, height: int):
     return right.astype(np.float32), up2.astype(np.float32)
 
 
-def primary_rays(key, camera: Camera, width: int, height: int,
-                 focal_slider_scale: float = 3.0):
-    """Camera rays for every pixel: ([N,3] origins, [N,3] dirs, [N] pixel ids).
+def camera_arrays_for(camera: Camera, sun_direction, width: int, height: int):
+    """Pack the traced (non-static) camera inputs for the render programs."""
+    right, up2 = camera_basis(camera, width, height)
+    d = jnp.asarray(camera.direction, jnp.float32)
+    return {
+        "position": jnp.asarray(camera.position, jnp.float32),
+        "direction": d / jnp.linalg.norm(d),
+        "right": jnp.asarray(right),
+        "up": jnp.asarray(up2),
+        "focal_distance": jnp.float32(camera.focal_distance),
+        "lens_radius": jnp.float32(camera.lens_radius),
+        "sun_direction": jnp.asarray(sun_direction, jnp.float32),
+    }
 
-    Pixel (x, y) maps to index y*width + x; jitter/DoF per kernel.cu:170-198
+
+def primary_rays_from_arrays(key, camera_arrays, idx, width: int, height: int,
+                             focal_slider_scale: float = 3.0):
+    """Camera rays for explicit pixel indices ``idx`` -> (origins, dirs).
+
+    The single implementation behind both the batch renderer and the tests:
+    stratified 4x4 in-pixel jitter + thin-lens DoF per kernel.cu:170-198
     (including the ``ImGui_slider_hack`` 3x focal scale).
     """
-    n = width * height
-    right, up2 = camera_basis(camera, width, height)
-    right = jnp.asarray(right)
-    up2 = jnp.asarray(up2)
-    cam_dir = jnp.asarray(camera.direction, jnp.float32)
-    cam_dir = cam_dir / jnp.linalg.norm(cam_dir)
-    origin = jnp.asarray(camera.position, jnp.float32)
-
-    idx = jnp.arange(n, dtype=jnp.int32)
+    n = idx.shape[0]
     x = (idx % width).astype(jnp.float32)
     y = (idx // width).astype(jnp.float32)
 
@@ -85,19 +94,36 @@ def primary_rays(key, camera: Camera, width: int, height: int,
     jitter = stratified_2d(k1, n)
     px = x - jitter[:, 0]
     py = y - jitter[:, 1]
-
     ni = px / width - 0.5
     nj = (height - py) / height - 0.5
 
-    to_focal = cam_dir[None, :] + ni[:, None] * right + nj[:, None] * up2
+    origin = camera_arrays["position"]
+    to_focal = (camera_arrays["direction"][None, :]
+                + ni[:, None] * camera_arrays["right"]
+                + nj[:, None] * camera_arrays["up"])
     to_focal = to_focal / jnp.linalg.norm(to_focal, axis=1, keepdims=True)
-
-    converge = origin + (camera.focal_distance * focal_slider_scale) * to_focal
+    converge = origin + (camera_arrays["focal_distance"]
+                         * focal_slider_scale) * to_focal
 
     lens_uv = jax.random.uniform(k2, (n, 2))
-    p_lens = camera.lens_radius * concentric_disk(lens_uv)
-    new_origin = (origin[None, :] + right[None, :] * p_lens[:, 0:1]
-                  + up2[None, :] * p_lens[:, 1:2])
-    direction = converge - new_origin
-    direction = direction / jnp.linalg.norm(direction, axis=1, keepdims=True)
-    return new_origin, direction, idx
+    p_lens = camera_arrays["lens_radius"] * concentric_disk(lens_uv)
+    origins = (origin[None, :]
+               + camera_arrays["right"][None, :] * p_lens[:, 0:1]
+               + camera_arrays["up"][None, :] * p_lens[:, 1:2])
+    dirs = converge - origins
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    return origins, dirs
+
+
+def primary_rays(key, camera: Camera, width: int, height: int,
+                 focal_slider_scale: float = 3.0):
+    """Camera rays for every pixel: ([N,3] origins, [N,3] dirs, [N] pixel ids).
+
+    Convenience wrapper over :func:`primary_rays_from_arrays` (row-major
+    pixel order)."""
+    idx = jnp.arange(width * height, dtype=jnp.int32)
+    arrays = camera_arrays_for(camera, jnp.zeros(3, jnp.float32), width,
+                               height)
+    origins, dirs = primary_rays_from_arrays(
+        key, arrays, idx, width, height, focal_slider_scale)
+    return origins, dirs, idx
