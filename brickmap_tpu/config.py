@@ -153,6 +153,12 @@ class RenderConfig:
     rays_per_chunk: int = 16384      # on-device lax.map chunking of traversal
     max_brick_steps: int = 22        # 8x8x8 DDA worst case = 3*8 - 2
     max_byte_steps: int = 4          # 2x2x2 DDA worst case = 3*2 - 2
+    # Hierarchical Pallas kernel budgets (pallas/traverse3.py); used when the
+    # scene is a PagedScene.
+    paged_rounds: int = 128          # page-vote rounds per traversal
+    paged_march: int = 32            # cell steps per march phase
+    paged_phases: int = 2            # march+descend phases per round
+    paged_transit: int = 2           # empty-page ESS jumps per round
 
     @property
     def num_pixels(self) -> int:

@@ -16,13 +16,13 @@ equivalent keeps everything HBM-resident and reorganizes the scene around the
     variables.h:30), 4 packed per word;
   - rows 10-15: reserved (tile alignment).
 
-* ``poolT``  float32 [S, 64, 4096] — per-CELL brick payloads, transposed: rows
-  4k..4k+3 hold the four bytes (LSB first) of occupancy word k for every
-  cell.  Bytes (<= 255) are exact in bf16, so the kernel's one-hot MXU fetch
-  is lossless at the MXU's native default precision (f32 operands are
-  truncated to bf16 on the systolic array; u16 halves would round).
-  Cell-indexed, not slot-indexed: no slot/pool_base indirection, no per-lane
-  HBM gathers.  Empty/unloaded cells are zero rows.
+* ``poolT``  bfloat16 [S, 64, 4096] — per-CELL brick payloads, transposed:
+  rows 4k..4k+3 hold the four bytes (LSB first) of occupancy word k for every
+  cell.  Bytes (<= 255) are exact in bf16 and bf16 x bf16 -> f32 is the MXU's
+  native mode, so the kernel's one-hot fetch is lossless (wider integers
+  would round on the systolic array).  Cell-indexed, not slot-indexed: no
+  slot/pool_base indirection, no per-lane HBM gathers.  Empty/unloaded cells
+  are zero rows.  Full 4096^2x512 world: 2.1 GB of HBM.
 
 * ``sc_dist`` int32 [NR4, 8, 128] — page-level Chebyshev distance to the
   nearest non-empty page (0 for non-empty), packed 1024 pages per register
@@ -65,7 +65,7 @@ class PagedScene:
     meta: Array       # int32 [S, 16, 128] (bit patterns; int32 keeps
                       #   every in-kernel shift/mask single-dtype — mixed
                       #   u32>>i32 shifts miscompile on Mosaic)
-    poolT: Array      # float32 [S, 64, 4096] (bytes of words)
+    poolT: Array      # bfloat16 [S, 64, 4096] (bytes of words)
     sc_dist: Array    # int32 [NR4, 8, 128]
 
     def tree_flatten(self):
@@ -136,15 +136,17 @@ def build_paged_scene(scene, grid: GridConfig) -> PagedScene:
         lodb.astype(np.uint32) << ((linf & 3) * 8).astype(np.uint32))
     meta[:, 2:10, :] = lodrows.reshape(S, 8, 128)
 
-    # Cell-indexed transposed brick payloads as bytes in f32 (bf16-exact).
-    poolT = np.zeros((S, 4 * cm, pc), np.float32)
+    # Cell-indexed transposed brick payloads as bytes in bf16 (exact).
+    import ml_dtypes
+
+    poolT = np.zeros((S, 4 * cm, pc), ml_dtypes.bfloat16)
     gslot = (pool_base[scf[loaded]]
              + (iv.ravel()[loaded] & np.uint32(BRICK_INDEX_BITS))
              .astype(np.int64))
     words = pool[gslot]                           # [M, 16] uint32
     for b in range(4):
         poolT[scf[loaded], b::4, linf[loaded]] = \
-            ((words >> (8 * b)) & np.uint32(0xFF)).astype(np.float32)
+            ((words >> (8 * b)) & np.uint32(0xFF)).astype(ml_dtypes.bfloat16)
 
     # Page-level Chebyshev distance (empty-space skipping across superchunks).
     page_occ = occ.reshape(cz, cy, cx).reshape(

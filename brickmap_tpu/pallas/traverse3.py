@@ -93,18 +93,17 @@ def _sel_axis(tx, ty, tz):
 def _fetch_bricks(poolT, slot):
     """One-hot MXU fetch: 16 uint32 brick words per lane from the page pool.
 
-    poolT: (64, 4096) f32 — byte b of word k in row 4k+b (bytes are exact in
-    bf16, so the MXU's default-precision f32 path is lossless; u16 halves
-    would round on the systolic array).
+    poolT: (64, 4096) bf16 — byte b of word k in row 4k+b (bytes are exact
+    in bf16; bf16 x bf16 -> f32 is the MXU's native mode).
     slot: (8, 128) i32 in-page cell index.  Returns 16 (8,128) int32 words.
     """
-    f32 = jnp.float32
     cell_iota = jax.lax.broadcasted_iota(jnp.int32, (4096, 128), 0)
     chunks = []
     for s in range(8):
         srow = jax.lax.broadcast_in_dim(slot[s], (4096, 128), (1,))
-        ohT = (srow == cell_iota).astype(f32)
-        chunks.append(jnp.dot(poolT, ohT, preferred_element_type=f32))
+        ohT = (srow == cell_iota).astype(jnp.bfloat16)
+        chunks.append(jnp.dot(poolT, ohT,
+                              preferred_element_type=jnp.float32))
     words = []
     for k in range(16):
         by = [jnp.concatenate([c[4 * k + b:4 * k + b + 1] for c in chunks],
@@ -610,7 +609,7 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
         out_shape=out_sd,
         scratch_shapes=[
             pltpu.VMEM((16, 128), jnp.int32),        # meta page
-            pltpu.VMEM((64, 4096), jnp.float32),     # poolT page
+            pltpu.VMEM((64, 4096), jnp.bfloat16),    # poolT page
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

@@ -56,6 +56,21 @@ def tonemap(film, width: int, height: int):
 
 
 def _trace(origins, dirs, scene, cam_brick, cfg: BrickmapConfig):
+    from ..pallas.paged import PagedScene
+
+    if isinstance(scene, PagedScene):
+        import jax
+
+        from ..pallas.traverse3 import trace_rays_paged
+
+        return trace_rays_paged(
+            origins, dirs, scene, cam_brick, cfg.grid,
+            max_page_rounds=cfg.render.paged_rounds,
+            march_steps=cfg.render.paged_march,
+            phase_iters=cfg.render.paged_phases,
+            transit_iters=cfg.render.paged_transit,
+            interpret=jax.devices()[0].platform == "cpu",
+        )
     if scene.block_words is not None:
         return trace_rays_chunked(
             origins, dirs,

@@ -14,17 +14,21 @@ TPU-native redesign: no atomics, no pinned staging, no device pointers.
   atomicOr), caps per step at ``queue_size`` (brick_load_queue_size = 1024,
   variables.h:35; overflow dropped and retried by later waves, same policy as
   voxel.cuh:237-240).
-* Residency updates are batched device scatters into the linear pool, the
-  index volume, and the 4x4x4 ``block_words`` tiling — address translation,
-  not transport (the north star replaces host streaming with HBM residency;
-  this module exists for reference-parity workflows and memory-capped pools).
-* Pool growth doubles capacity (Scene.cpp:235-250) but reallocates one global
-  linear pool with per-superchunk segments, re-basing ``pool_base``; a shape
-  change (= recompile) happens only on the log-many doublings, mirroring the
-  reference's realloc cost profile.
+* Residency updates are **O(requests) device scatters** (fixed queue-size
+  shapes, so the scatter executables compile once): index words, pool rows,
+  and the affected ``block_words`` rows for the XLA path
+  (kernel.cu:141-151's role), plus loaded-bits and pool columns of the paged
+  layout consumed by the Pallas kernel.  Host arrays remain the truth only as
+  the payload source (the CPU supergrid, Scene.h:19-29).
+* Pool growth doubles segment capacity (Scene.cpp:235-250) and re-bases one
+  global linear pool; the re-upload happens only on the log-many doublings.
+  The paged layout never grows: its pool is cell-indexed, so residency is
+  pure address translation.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import numpy as np
 
@@ -34,17 +38,35 @@ from .config import GridConfig
 __all__ = ["StreamingScene"]
 
 
+def _scatter_rows(arr, idx, rows):
+    """Jitted device scatter: arr[idx] = rows (fixed shapes, compiled once).
+
+    Padded entries repeat a real index with its current row value, making the
+    scatter idempotent without shape-varying programs.
+    """
+    import jax
+
+    @jax.jit
+    def go(arr, idx, rows):
+        return arr.at[idx].set(rows)
+
+    return go(arr, idx, rows)
+
+
 class StreamingScene:
-    """Host-side residency manager around a device :class:`VoxelScene`.
+    """Host-side residency manager around persistent device arrays.
 
     ``truth`` is a fully-built host scene (every brick's payload + slot known,
     the analog of the CPU-side supergrid, Scene.h:19-29); the managed device
     scene starts with every brick ``unloaded | lod`` and no payloads
-    (Scene.cpp:157-175).
+    (Scene.cpp:157-175).  Set ``paged=True`` to also maintain a
+    :class:`~brickmap_tpu.pallas.paged.PagedScene` incrementally for the
+    hierarchical Pallas kernel.
     """
 
     def __init__(self, truth: scene_mod.VoxelScene, grid: GridConfig,
-                 queue_size: int = 1024, starting_capacity: int = 16):
+                 queue_size: int = 1024, starting_capacity: int = 16,
+                 paged: bool = False):
         import jax.numpy as jnp
 
         self.grid = grid
@@ -62,6 +84,7 @@ class StreamingScene:
             np.uint32(0x4000_0000) | (lod << 12),
             iv_truth & np.uint32(0x1FF0_0000),
         ).astype(np.uint32)
+        self._bw = scene_mod.block_words_from_index(self._iv)
 
         s = grid.num_superchunks
         self.capacity = np.full(s, starting_capacity, np.int64)
@@ -69,12 +92,30 @@ class StreamingScene:
         self._pool = np.zeros((self._padded_total(), grid.cell_members),
                               np.uint32)
         self._rebase()
-        self._pending: set[tuple] = set()        # requested-bit dedupe
         self.total_uploaded = 0
         self.total_dropped = 0
         self._jnp = jnp
-        self._dirty = True
-        self._dev = None
+
+        # Persistent device arrays (scattered into, never re-uploaded except
+        # on pool growth).
+        self._dev_iv = jnp.asarray(self._iv)
+        self._dev_bw = jnp.asarray(self._bw)
+        self._dev_pool = jnp.asarray(self._pool)
+        self._dev_base = jnp.asarray(self.pool_base)
+
+        self._paged = None
+        if paged:
+            from .pallas.paged import build_paged_scene
+
+            streaming_truth = scene_mod.VoxelScene(
+                index_volume=self._iv, pool_words=self._pool,
+                pool_base=self.pool_base)
+            host_paged = build_paged_scene(streaming_truth, grid)
+            self._meta_host = np.asarray(host_paged.meta)
+            self._paged = type(host_paged)(
+                meta=jnp.asarray(host_paged.meta),
+                poolT=jnp.asarray(host_paged.poolT),
+                sc_dist=jnp.asarray(host_paged.sc_dist))
 
     # -- bookkeeping --------------------------------------------------------
 
@@ -91,18 +132,20 @@ class StreamingScene:
         self.pool_base[1:] = np.cumsum(self.capacity)[:-1].astype(np.int32)
 
     def device_scene(self) -> scene_mod.VoxelScene:
-        """Current device-resident scene (arrays uploaded lazily)."""
-        if self._dirty or self._dev is None:
-            jnp = self._jnp
-            self._dev = scene_mod.VoxelScene(
-                index_volume=jnp.asarray(self._iv),
-                pool_words=jnp.asarray(self._pool),
-                pool_base=jnp.asarray(self.pool_base),
-                block_words=jnp.asarray(
-                    scene_mod.block_words_from_index(self._iv)),
-            )
-            self._dirty = False
-        return self._dev
+        """Current device-resident scene (persistent arrays; O(requests)
+        scatters keep them current — no per-wave re-upload)."""
+        return scene_mod.VoxelScene(
+            index_volume=self._dev_iv,
+            pool_words=self._dev_pool,
+            pool_base=self._dev_base,
+            block_words=self._dev_bw,
+        )
+
+    def device_paged(self):
+        """Current paged scene for the hierarchical kernel (paged=True)."""
+        if self._paged is None:
+            raise ValueError("StreamingScene(paged=True) required")
+        return self._paged
 
     def _sc_id(self, x, y, z):
         s = self.grid.supergrid_cell_size
@@ -116,13 +159,14 @@ class StreamingScene:
 
         ``requests``: iterable of brick-grid (x, y, z) coords (from traversal
         output).  Duplicates and already-resident bricks are ignored; overflow
-        beyond the queue cap is dropped (retried by later waves).
+        beyond the queue cap is dropped (retried by later waves, the
+        reference's voxel.cuh:237-240 policy).
         """
         fresh = []
         seen = set()
         for xyz in requests:
             xyz = tuple(int(v) for v in xyz)
-            if xyz in seen or xyz in self._pending:
+            if xyz in seen:
                 continue
             seen.add(xyz)
             x, y, z = xyz
@@ -156,23 +200,118 @@ class StreamingScene:
                         old_pool[old_base[sc]:old_base[sc] + h]
             self._pool = new_pool
 
-        for x, y, z in fresh:
-            sc = self._sc_id(x, y, z)
-            slot = int(self.highest[sc])
+        # Host bookkeeping for the batch.
+        n = len(fresh)
+        coords = np.asarray(fresh, np.int64)          # [n, 3] (x, y, z)
+        scs = self._sc_id(coords[:, 0], coords[:, 1], coords[:, 2])
+        slots = np.empty(n, np.int64)
+        for i, sc in enumerate(scs):
+            slots[i] = self.highest[sc]
             self.highest[sc] += 1
-            # Payload from host truth (CPU brick list, Scene.cpp:223).
-            tword = int(np.asarray(self.truth.index_volume)[z, y, x])
-            tslot = self._truth_base[sc] + (tword & 0xFFF)
-            payload = self._truth_pool[tslot]
-            gslot = self.pool_base[sc] + slot
-            self._pool[gslot] = payload
-            lod = (tword >> 12) & 0xFF
-            self._iv[z, y, x] = np.uint32(
-                0x8000_0000 | (lod << 12) | slot)
-            self._pending.discard((x, y, z))
-        self.total_uploaded += len(fresh)
-        self._dirty = True
-        return len(fresh)
+        gslots = self.pool_base[scs] + slots
+        twords = np.asarray(self.truth.index_volume)[
+            coords[:, 2], coords[:, 1], coords[:, 0]]
+        tslots = self._truth_base[scs] + (twords & np.uint32(0xFFF))
+        payloads = self._truth_pool[tslots]           # [n, 16]
+        lods = (twords >> 12) & np.uint32(0xFF)
+        new_words = (np.uint32(0x8000_0000) | (lods << 12)
+                     | slots.astype(np.uint32))
+
+        self._iv[coords[:, 2], coords[:, 1], coords[:, 0]] = new_words
+        self._pool[gslots] = payloads
+
+        # ---- device scatters, O(requests) (kernel.cu:141-151's role) ------
+        jnp = self._jnp
+        q = self.queue_size
+
+        def pad_idx(a):
+            return jnp.asarray(np.concatenate(
+                [a, np.repeat(a[-1:], q - n, 0)]).astype(np.int32))
+
+        def pad_rows(a):
+            return jnp.asarray(np.concatenate(
+                [a, np.repeat(a[-1:], q - n, 0)]))
+
+        # Index words: flat scatter into [CZ*CY*CX].
+        cz, cy, cx = self._iv.shape
+        flat_idx = (coords[:, 2] * cy + coords[:, 1]) * cx + coords[:, 0]
+        self._dev_iv = _scatter_rows(
+            self._dev_iv.reshape(-1), pad_idx(flat_idx),
+            pad_rows(new_words)).reshape(cz, cy, cx)
+
+        # Affected block_words rows (4x4x4 tiling of the index volume).
+        b = scene_mod.BLOCK
+        nbx, nby = -(-cx // b), -(-cy // b)
+        blk = ((coords[:, 2] // b) * nby + coords[:, 1] // b) * nbx \
+            + coords[:, 0] // b
+        off = ((coords[:, 2] % b) * b + coords[:, 1] % b) * b \
+            + coords[:, 0] % b
+        self._bw[blk, off] = new_words
+        bw_flat_idx = blk * (b ** 3) + off
+        self._dev_bw = _scatter_rows(
+            self._dev_bw.reshape(-1), pad_idx(bw_flat_idx),
+            pad_rows(new_words)).reshape(self._bw.shape)
+
+        # Pool payload rows.
+        self._dev_pool = _scatter_rows(self._dev_pool, pad_idx(gslots),
+                                       pad_rows(payloads))
+
+        # Paged layout: loaded bit-plane words + pool byte columns.
+        if self._paged is not None:
+            s = self.grid.supergrid_cell_size
+            lin = (((coords[:, 2] % s) * s + coords[:, 1] % s) * s
+                   + coords[:, 0] % s)
+            # Aggregate loaded bits per (sc, word) on host (duplicate words in
+            # one batch must OR together), then scatter unique words.
+            self._meta_host = self._meta_host.view(np.uint32)
+            np.bitwise_or.at(
+                self._meta_host, (scs, np.ones(n, np.int64), lin >> 5),
+                np.uint32(1) << (lin & 31).astype(np.uint32))
+            self._meta_host = self._meta_host.view(np.int32)
+            uniq = np.unique(scs * 128 + (lin >> 5))
+            meta_vals = self._meta_host[:, 1, :].reshape(-1)[uniq]
+            nu = uniq.shape[0]
+            uniq_p = np.concatenate([uniq, np.repeat(uniq[-1:], q - nu)])
+            vals_p = np.concatenate(
+                [meta_vals, np.repeat(meta_vals[-1:], q - nu)])
+            S = self._meta_host.shape[0]
+            meta_flat_idx = (uniq_p // 128) * (16 * 128) + 1 * 128 \
+                + uniq_p % 128
+            meta = _scatter_rows(
+                self._paged.meta.reshape(-1),
+                jnp.asarray(meta_flat_idx.astype(np.int32)),
+                jnp.asarray(vals_p.astype(np.int32))).reshape(S, 16, 128)
+
+            import ml_dtypes
+
+            cols = np.empty((n, 4 * self.grid.cell_members),
+                            ml_dtypes.bfloat16)
+            for byte in range(4):
+                cols[:, byte::4] = ((payloads >> (8 * byte))
+                                    & np.uint32(0xFF)).astype(
+                                        ml_dtypes.bfloat16)
+            pc = s ** 3
+            poolT_col_idx = scs * pc + lin
+
+            @partial(_cached_jit)
+            def scatter_cols(poolT, idx, vals):
+                S_, R, P = poolT.shape
+                flat = poolT.transpose(0, 2, 1).reshape(S_ * P, R)
+                flat = flat.at[idx].set(vals)
+                return flat.reshape(S_, P, R).transpose(0, 2, 1)
+
+            poolT = scatter_cols(self._paged.poolT, pad_idx(poolT_col_idx),
+                                 pad_rows(cols))
+            self._paged = type(self._paged)(
+                meta=meta, poolT=poolT, sc_dist=self._paged.sc_dist)
+
+        if grew:
+            # Rare (log-many) full re-upload after segment re-basing.
+            self._dev_pool = jnp.asarray(self._pool)
+            self._dev_base = jnp.asarray(self.pool_base)
+
+        self.total_uploaded += n
+        return n
 
     # -- diagnostics --------------------------------------------------------
 
@@ -182,3 +321,11 @@ class StreamingScene:
 
     def fully_resident(self) -> bool:
         return not ((self._iv & np.uint32(0x4000_0000)) != 0).any()
+
+
+def _cached_jit(fn, _cache={}):
+    import jax
+
+    if fn.__name__ not in _cache:
+        _cache[fn.__name__] = jax.jit(fn)
+    return _cache[fn.__name__]

@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--check", action="store_true",
                     help="compare hit/t between paths")
     ap.add_argument("--rounds", type=int, default=96)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--march", type=int, default=12)
     ap.add_argument("--phases", type=int, default=2)
     args = ap.parse_args()
@@ -47,7 +49,7 @@ def main():
 
     cfg = BrickmapConfig(
         grid=GridConfig(grid_size=1024, grid_height=256),
-        render=RenderConfig(width=640, height=360, max_bounces=0,
+        render=RenderConfig(width=args.width, height=args.height, max_bounces=0,
                             max_top_steps=768),
     )
     w, h = cfg.render.width, cfg.render.height

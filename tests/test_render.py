@@ -102,3 +102,21 @@ def test_film_tonemap(world):
     img = np.asarray(pathtrace.tonemap(film, W, H))
     assert img.shape == (H, W, 3)
     assert (img >= 0).all() and (img <= 1).all()
+
+
+def test_paged_wave_matches_voxel_wave(world):
+    """The hierarchical Pallas kernel as the wave's traversal must reproduce
+    the XLA path's image exactly (same RNG, ray-for-ray parity)."""
+    from brickmap_tpu.pallas.paged import build_paged_scene
+
+    sc, jsc, _, arrays, cam_brick = world
+    psc = jax.tree.map(jnp.asarray, build_paged_scene(sc, CFG.grid))
+    key = jax.random.PRNGKey(4)
+    rgb_v, _, req_v = pathtrace.render_wave(key, jsc, arrays, cam_brick,
+                                            CFG, W, H)
+    rgb_p, _, req_p = pathtrace.render_wave(key, psc, arrays, cam_brick,
+                                            CFG, W, H)
+    np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_v),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(req_p["mask"]),
+                                  np.asarray(req_v["mask"]))

@@ -152,3 +152,70 @@ def test_surface_only_requests_on_terrain(rng):
                 (z - 1, y, x), (z + 1, y, x), (z, y - 1, x),
                 (z, y + 1, x), (z, y, x - 1), (z, y, x + 1)])
             assert not buried, f"buried brick {(x, y, z)} became resident"
+
+
+def test_paged_streaming_round_trip(truth):
+    """paged=True: loaded bits + pool columns scatter incrementally and the
+    hierarchical kernel sees newly resident bricks (the TPU analog of the
+    upload scatter, kernel.cu:141-151)."""
+    from brickmap_tpu.pallas.traverse3 import trace_rays_paged
+
+    mgr = StreamingScene(truth, GRID, paged=True)
+    origins = np.array([[0.5, 64.0, 30.0]], np.float32)
+    directions = np.array([[1.0, 0.0, 0.0]], np.float32)
+
+    def ptrace():
+        return trace_rays_paged(
+            jnp.asarray(origins), jnp.asarray(directions), mgr.device_paged(),
+            jnp.asarray(CAM, jnp.int32), GRID, interpret=True)
+
+    r1 = ptrace()
+    assert bool(np.asarray(r1["hit"])[0])
+    assert bool(np.asarray(r1["request"])[0])
+    req = tuple(int(v) for v in np.asarray(r1["request_pos"])[0])
+    assert mgr.process_requests([req]) == 1
+
+    r2 = ptrace()
+    assert bool(np.asarray(r2["hit"])[0])
+    # Brick now resident: fine-voxel hit, no new request for that brick.
+    xr = trace(mgr.device_scene(), origins, directions)
+    np.testing.assert_allclose(np.asarray(r2["t"]), np.asarray(xr["t"]),
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(r2["request"]),
+                                  np.asarray(xr["request"]))
+
+
+def test_paged_streaming_many_waves(truth, rng):
+    """Multi-wave paged streaming converges to the fully-resident image."""
+    from brickmap_tpu.pallas.paged import build_paged_scene
+    from brickmap_tpu.pallas.traverse3 import trace_rays_paged
+
+    mgr = StreamingScene(truth, GRID, queue_size=64, paged=True)
+    n = 128
+    origins = rng.uniform([0, 0, 110], [128, 128, 125], (n, 3)).astype(
+        np.float32)
+    directions = rng.normal(size=(n, 3)).astype(np.float32)
+    directions[:, 2] = -np.abs(directions[:, 2]) - 0.5
+    directions /= np.linalg.norm(directions, axis=1, keepdims=True)
+
+    def ptrace(psc):
+        return trace_rays_paged(
+            jnp.asarray(origins), jnp.asarray(directions), psc,
+            jnp.asarray(CAM, jnp.int32), GRID, interpret=True)
+
+    for _ in range(40):
+        res = ptrace(mgr.device_paged())
+        mask = np.asarray(res["request"])
+        if not mask.any():
+            break
+        reqs = [tuple(int(v) for v in p)
+                for p in np.asarray(res["request_pos"])[mask]]
+        if mgr.process_requests(reqs) == 0:
+            break
+
+    resident = ptrace(mgr.device_paged())
+    full = ptrace(jax.tree.map(jnp.asarray, build_paged_scene(truth, GRID)))
+    np.testing.assert_array_equal(np.asarray(resident["hit"]),
+                                  np.asarray(full["hit"]))
+    np.testing.assert_allclose(np.asarray(resident["t"]),
+                               np.asarray(full["t"]), atol=1e-3)
