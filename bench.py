@@ -1,11 +1,17 @@
 #!/usr/bin/env python
 """Driver benchmark: prints ONE JSON line with the headline metric.
 
-Headline: Mrays/s per chip, forward path tracing at 1080p, 3 bounces, over the
-reference's 9 scripted viewpoints on the simplex-terrain world (BASELINE.md).
-Extra fields: fwd+bwd differentiable-render throughput and per-view stats.
+Headline: Mrays/s per chip, forward path tracing at 1920x1080, 3 bounces,
+over the reference's 9 scripted viewpoints on the simplex-terrain world
+(BASELINE.md; resolution main.cpp:49, world variables.h:7-8, viewpoints
+performance_measure.h:4-25).  The traversal is the hierarchical Pallas
+kernel over the paged scene (brickmap_tpu/pallas/traverse3.py).
 
-Usage: python bench.py [--small] [--views N] [--waves N]
+Default workload is the full 4096^2x512 world; --small switches to the
+1024-world (faster prep) at the same resolution.  If full-world preparation
+fails (memory/time), the small world is used and tagged in the output.
+
+Extra fields: fwd+bwd differentiable-render throughput and per-view stats.
 """
 
 from __future__ import annotations
@@ -22,14 +28,61 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 
 
+def _load_world(tag: str, cfg, scene_mod):
+    cache_path = os.path.join(CACHE, f"scene_{tag}.npz")
+    t0 = time.time()
+    if os.path.exists(cache_path):
+        sc = scene_mod.load_scene(cache_path)
+        print(f"scene loaded from cache in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+    else:
+        sc = scene_mod.generate_terrain_scene(cfg.grid)
+        scene_mod.save_scene(cache_path, sc)
+        print(f"scene generated in {time.time()-t0:.1f}s", file=sys.stderr)
+    return sc
+
+
+def _paged_for(tag: str, sc, cfg):
+    """Paged tables for the Pallas kernel, disk-cached (bf16 as u16 views)."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from brickmap_tpu.pallas.paged import PagedScene, build_paged_scene
+
+    base = os.path.join(CACHE, f"paged_{tag}")
+    t0 = time.time()
+    if os.path.exists(base + "_meta.npy"):
+        meta = np.load(base + "_meta.npy")
+        poolT = np.load(base + "_poolT.npy").view(ml_dtypes.bfloat16)
+        scd = np.load(base + "_scd.npy")
+        psc = PagedScene(meta=meta, poolT=poolT, sc_dist=scd)
+        print(f"paged tables loaded in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+    else:
+        psc = build_paged_scene(sc, cfg.grid)
+        np.save(base + "_meta.npy", np.asarray(psc.meta))
+        np.save(base + "_poolT.npy", np.asarray(psc.poolT).view(np.uint16))
+        np.save(base + "_scd.npy", np.asarray(psc.sc_dist))
+        print(f"paged tables built in {time.time()-t0:.1f}s "
+              f"(poolT {psc.poolT.nbytes/1e6:.0f} MB)", file=sys.stderr)
+    t0 = time.time()
+    dev = jax.tree.map(jnp.asarray, psc)
+    float(np.asarray(dev.sc_dist).ravel()[0])
+    print(f"paged tables uploaded in {time.time()-t0:.1f}s", file=sys.stderr)
+    return dev
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--full", action="store_true",
-                    help="full 4096^2x512 world at 1920x1080 (slow; default "
-                         "is the 1024-world at 640x360 so the driver bench "
-                         "completes in minutes)")
+    ap.add_argument("--small", action="store_true",
+                    help="1024^2x256 world instead of the full 4096^2x512")
+    ap.add_argument("--full", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--waves", type=int, default=1)
     ap.add_argument("--skip-bwd", action="store_true")
+    ap.add_argument("--xla-path", action="store_true",
+                    help="benchmark the XLA lockstep traversal instead of "
+                         "the Pallas kernel")
     args = ap.parse_args()
 
     import jax
@@ -49,45 +102,40 @@ def main() -> None:
     from brickmap_tpu.app.benchmark import run_forward_benchmark
     from brickmap_tpu.config import BrickmapConfig, GridConfig, RenderConfig
 
-    if not args.full:
-        cfg = BrickmapConfig(
-            grid=GridConfig(grid_size=1024, grid_height=256),
-            render=RenderConfig(width=640, height=360, max_bounces=3,
-                                max_top_steps=768),
-        )
-        scale = 1024.0 / 4096.0
-        tag = "small"
-    else:
-        cfg = BrickmapConfig(
-            grid=GridConfig(),
-            render=RenderConfig(width=1920, height=1080, max_bounces=3,
-                                max_top_steps=2048),
-        )
-        scale = 1.0
-        tag = "full"
-
     os.makedirs(CACHE, exist_ok=True)
-    cache_path = os.path.join(CACHE, f"scene_{tag}.npz")
-    t0 = time.time()
-    if os.path.exists(cache_path):
-        sc = scene_mod.load_scene(cache_path)
-        print(f"scene loaded from cache in {time.time()-t0:.1f}s",
+    render = RenderConfig(width=1920, height=1080, max_bounces=3,
+                          max_top_steps=2048, paged_rounds=192)
+
+    def prep(tag):
+        if tag == "small":
+            cfg = BrickmapConfig(
+                grid=GridConfig(grid_size=1024, grid_height=256),
+                render=render)
+            scale = 1024.0 / 4096.0
+        else:
+            cfg = BrickmapConfig(grid=GridConfig(), render=render)
+            scale = 1.0
+        sc = _load_world(tag, cfg, scene_mod)
+        if args.xla_path:
+            scene = scene_mod.VoxelScene(
+                index_volume=jnp.asarray(sc.index_volume),
+                pool_words=jnp.asarray(sc.pool_words),
+                pool_base=jnp.asarray(sc.pool_base),
+                block_words=jnp.asarray(sc.block_words))
+        else:
+            scene = _paged_for(tag, sc, cfg)
+        return cfg, scene, scale
+
+    tag = "small" if args.small else "full"
+    try:
+        cfg, scene, scale = prep(tag)
+    except Exception as e:
+        print(f"{tag}-world prep failed ({e}); falling back to small",
               file=sys.stderr)
-    else:
-        sc = scene_mod.generate_terrain_scene(cfg.grid)
-        scene_mod.save_scene(cache_path, sc)
-        print(f"scene generated in {time.time()-t0:.1f}s", file=sys.stderr)
+        tag = "small"
+        cfg, scene, scale = prep(tag)
 
-    jsc = scene_mod.VoxelScene(
-        index_volume=jnp.asarray(sc.index_volume),
-        pool_words=jnp.asarray(sc.pool_words),
-        pool_base=jnp.asarray(sc.pool_base),
-        block_words=jnp.asarray(sc.block_words),
-    )
-    print(f"pool: {sc.pool_words.shape[0]} bricks "
-          f"({sc.pool_words.nbytes/1e6:.0f} MB)", file=sys.stderr)
-
-    fwd = run_forward_benchmark(jsc, cfg, waves_per_view=args.waves,
+    fwd = run_forward_benchmark(scene, cfg, waves_per_view=args.waves,
                                 scale=scale, verbose=True)
 
     # fwd+bwd: differentiable render + gradient step at the same resolution
@@ -107,7 +155,8 @@ def main() -> None:
     result = {
         "metric": "Mrays/s/chip fwd path tracing "
                   f"{cfg.render.width}x{cfg.render.height} "
-                  f"{cfg.render.max_bounces}b, 9-viewpoint avg",
+                  f"{cfg.render.max_bounces}b, 9-viewpoint avg, "
+                  f"{tag} world",
         "value": round(fwd["mrays_per_s"], 3),
         "unit": "Mrays/s",
         "vs_baseline": None,  # reference publishes no numbers (BASELINE.md)
@@ -117,6 +166,7 @@ def main() -> None:
         "avg_ms": round(sum(r["avg_ms"] for r in fwd["per_view"])
                         / len(fwd["per_view"]), 2),
         "world": tag,
+        "traversal": "xla" if args.xla_path else "pallas_paged",
     }
     print(json.dumps(result))
 

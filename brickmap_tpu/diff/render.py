@@ -17,8 +17,10 @@ against the scalar oracle.
 
 Implemented as a ``lax.scan`` over a static step count; gradients flow through
 the per-step gathers (XLA turns them into scatter-adds in the backward pass).
-A fused Pallas forward/backward kernel with the same semantics lives in
-:mod:`brickmap_tpu.pallas` for performance.
+This dense-grid path is the small-scene reference; the production
+differentiable renderer over the sparse brick pool is
+:mod:`brickmap_tpu.diff.sparse` (Pallas segment recording + bounded-K
+replay, no scan residuals).
 """
 
 from __future__ import annotations

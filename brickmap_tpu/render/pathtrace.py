@@ -192,15 +192,24 @@ def _bounce_step(bounce, key, st, scene, cam_brick, sun_dir,
 
     new_dirs = cosine_hemisphere(k_bounce, ext_n)
     more = bounce < cfg.render.max_bounces
+    new_active = hit & more
+    new_sh_active = hit & (sun_cos > 0.0)
+    # Dead lanes get a ray that fails the AABB clip immediately: otherwise
+    # they re-trace their stale previous ray through the whole grid on every
+    # later bounce (measured ~2 s/bounce at 1080p with 0 live lanes).
+    dead_o = jnp.full((1, 3), -10.0, jnp.float32)
+    dead_d = jnp.full((1, 3), -1.0, jnp.float32)
     return dict(
         st,
-        origins=jnp.where(hit[:, None], hitpoint, origins),
-        dirs=jnp.where(hit[:, None], new_dirs, dirs),
-        active=hit & more,
-        sh_o=hitpoint,
-        sh_d=sdir,
+        origins=jnp.where(new_active[:, None],
+                          jnp.where(hit[:, None], hitpoint, origins), dead_o),
+        dirs=jnp.where(new_active[:, None],
+                       jnp.where(hit[:, None], new_dirs, dirs), dead_d),
+        active=new_active,
+        sh_o=jnp.where(new_sh_active[:, None], hitpoint, dead_o),
+        sh_d=jnp.where(new_sh_active[:, None], sdir, dead_d),
         sh_color=st["throughput"] * sun_rad * (sun_cos[:, None] * 1e-5),
-        sh_active=hit & (sun_cos > 0.0),
+        sh_active=new_sh_active,
         accum=accum, req_mask=req_mask, req_pos=req_pos, traced=traced,
     )
 

@@ -18,6 +18,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--views", type=int, default=9)
     ap.add_argument("--xla", action="store_true", help="also time XLA path")
+    ap.add_argument("--secondary", action="store_true")
     ap.add_argument("--check", action="store_true",
                     help="compare hit/t between paths")
     ap.add_argument("--rounds", type=int, default=96)
@@ -111,7 +112,45 @@ def main():
         rays["paged"] += n
         nex = int(np.asarray(r["exhausted"]).sum())
         print(f"view {vi}: paged {n/dt/1e6:8.2f} Mrays/s ({dt*1e3:7.1f} ms) "
-              f"hits {nh} exhausted {nex}")
+              f"hits {nh} exhausted {nex} rounds {int(r['iters'])}")
+
+        if args.secondary:
+            # Cosine-hemisphere bounce rays from the primary hits + sun
+            # shadow rays: the wave's incoherent workloads.
+            from brickmap_tpu.render.sampling import cone_sample, cosine_hemisphere
+            hit = r["hit"]
+            hp = o + d * r["t"][:, None] + r["normal"] * 2e-3
+            nrm = jnp.where(jnp.sum(r["normal"]**2, 1, keepdims=True) > 0,
+                            r["normal"], -d)
+            key2 = jax.random.PRNGKey(100 + vi)
+            bdir = cosine_hemisphere(key2, nrm)
+            bo = jnp.where(hit[:, None], hp, o)
+            bd = jnp.where(hit[:, None], bdir, d)
+            rb = trace_rays_paged(bo, bd, psc, cb, cfg.grid,
+                                  max_page_rounds=args.rounds,
+                                  march_steps=args.march,
+                                  phase_iters=args.phases)
+            int(np.asarray(rb["hit"]).sum())
+            t0 = time.perf_counter()
+            rb = trace_rays_paged(bo, bd, psc, cb, cfg.grid,
+                                  max_page_rounds=args.rounds,
+                                  march_steps=args.march,
+                                  phase_iters=args.phases)
+            nhb = int(np.asarray(rb["hit"]).sum())
+            dtb = time.perf_counter() - t0
+            sdir = cone_sample(jax.random.PRNGKey(7), jnp.asarray(
+                [0.0, 0.0, 1.0]), 0.0003, shape=(n,))
+            t0 = time.perf_counter()
+            rs = trace_rays_paged(bo, sdir, psc, cb, cfg.grid,
+                                  max_page_rounds=args.rounds,
+                                  march_steps=args.march,
+                                  phase_iters=args.phases)
+            nhs = int(np.asarray(rs["hit"]).sum())
+            dts = time.perf_counter() - t0
+            print(f"        bounce {n/dtb/1e6:8.2f} Mrays/s ({dtb*1e3:7.1f} ms)"
+                  f" hits {nhb} rounds {int(rb['iters'])}")
+            print(f"        shadow {n/dts/1e6:8.2f} Mrays/s ({dts*1e3:7.1f} ms)"
+                  f" hits {nhs} rounds {int(rs['iters'])}")
 
         if args.xla:
             from brickmap_tpu.ops.traverse import trace_rays_chunked

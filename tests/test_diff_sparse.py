@@ -1,0 +1,156 @@
+"""Sparse differentiable renderer: record+replay vs dense compositor + FD."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brickmap_tpu import scene as scene_mod
+from brickmap_tpu.config import GridConfig
+from brickmap_tpu.diff.render import composite_rays
+from brickmap_tpu.diff.sparse import (
+    cell_pool_map,
+    composite_sparse,
+    l2_loss_and_grads_sparse,
+    pool_fields_from_bitmask,
+)
+from brickmap_tpu.pallas.paged import build_paged_scene
+from brickmap_tpu.pallas.record import record_segments
+
+GRID = GridConfig(grid_size=128, grid_height=128)
+
+
+@pytest.fixture(scope="module")
+def sparse_world(rng):
+    """A couple of solid blobs -> a handful of resident bricks."""
+    dense = np.zeros((128, 128, 128), bool)
+    dense[16:32, 32:64, 32:64] = rng.random((16, 32, 32)) < 0.35
+    dense[48:56, 80:96, 40:56] = True
+    sc = scene_mod.scene_from_dense(dense, GRID)
+    psc = jax.tree.map(jnp.asarray, build_paged_scene(sc, GRID))
+    cellmap = jnp.asarray(cell_pool_map(sc, GRID))
+    occ, alb = pool_fields_from_bitmask(sc)
+    return dense, sc, psc, cellmap, occ, alb
+
+
+def rays_toward(rng, n, target=(48, 48, 24), spread=40.0):
+    origins = np.array([[64.0, 64.0, 120.0]] * n, np.float32)
+    origins += rng.normal(scale=8.0, size=(n, 3)).astype(np.float32)
+    aims = np.asarray(target, np.float32) + rng.normal(
+        scale=spread, size=(n, 3)).astype(np.float32)
+    d = aims - origins
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return origins, d.astype(np.float32)
+
+
+def test_record_matches_hard_traversal(sparse_world, rng):
+    """Recorded first segment = the hard traversal's hit brick cell."""
+    from brickmap_tpu.ops.traverse import trace_rays
+
+    dense, sc, psc, *_ = sparse_world
+    origins, dirs = rays_toward(rng, 96)
+    segs = record_segments(jnp.asarray(origins), jnp.asarray(dirs), psc,
+                           GRID, k_segments=8, interpret=True)
+    hard = trace_rays(jnp.asarray(origins), jnp.asarray(dirs),
+                      jnp.asarray(sc.index_volume),
+                      jnp.asarray(sc.pool_words), jnp.asarray(sc.pool_base),
+                      jnp.zeros(3, jnp.int32), GRID, max_iters=512)
+    count = np.asarray(segs["count"])
+    cells = np.asarray(segs["cells"])
+    # Any hard hit must have >= 1 recorded segment, and the FIRST recorded
+    # cell equals the cell holding the hard hit point.
+    hit = np.asarray(hard["hit"])
+    t = np.asarray(hard["t"])
+    nrm = np.asarray(hard["normal"])
+    for i in np.nonzero(hit)[0]:
+        assert count[i] >= 1, i
+        p = origins[i] + dirs[i] * t[i] - nrm[i] * 1e-3
+        cell = np.floor(p / 8.0).astype(int)
+        packed = int(cells[i, 0])
+        got = (packed & 0x3FF, (packed >> 10) & 0x3FF, (packed >> 20) & 0x3FF)
+        assert got == tuple(cell), (i, got, tuple(cell))
+
+
+def test_sparse_matches_dense_compositor(sparse_world, rng):
+    """Binarized sparse composite == dense-grid composite (hard limit)."""
+    dense, sc, psc, cellmap, occ, alb = sparse_world
+    # Distinct albedo per voxel so ordering errors show up in color.
+    rng2 = np.random.default_rng(5)
+    alb = rng2.uniform(0.2, 1.0, alb.shape).astype(np.float32)
+
+    # Dense-grid fields equivalent to the sparse ones.
+    occ_dense = dense.astype(np.float32) * 0.7
+    alb_dense = np.zeros((128, 128, 128, 3), np.float32)
+    cm = np.asarray(cell_pool_map(sc, GRID))
+    zz, yy, xx = np.nonzero(dense)
+    slots = cm[zz // 8, yy // 8, xx // 8]
+    lins = (xx % 8) + (yy % 8) * 8 + (zz % 8) * 64
+    alb_dense[zz, yy, xx] = alb[slots, lins]
+    occ_soft = occ * 0.7
+
+    origins, dirs = rays_toward(rng, 128)
+    bg = np.tile(np.array([[0.1, 0.2, 0.3]], np.float32), (128, 1))
+
+    segs = record_segments(jnp.asarray(origins), jnp.asarray(dirs), psc,
+                           GRID, k_segments=16, interpret=True)
+    assert not (np.asarray(segs["count"]) >= 16).any()  # no truncation here
+    rgb_s, trans_s = composite_sparse(
+        segs["o_cells"], jnp.asarray(dirs), segs, cellmap,
+        jnp.asarray(occ_soft), jnp.asarray(alb), jnp.asarray(bg), GRID,
+        k_segments=16)
+    rgb_d, trans_d, _ = composite_rays(
+        jnp.asarray(origins), jnp.asarray(dirs), jnp.asarray(occ_dense),
+        jnp.asarray(alb_dense), jnp.asarray(bg), max_steps=400)
+    np.testing.assert_allclose(np.asarray(trans_s), np.asarray(trans_d),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(rgb_s), np.asarray(rgb_d),
+                               atol=2e-3)
+
+
+def test_sparse_gradients_fd(sparse_world, rng):
+    """Finite-difference check of d(loss)/d(occupancy, albedo)."""
+    dense, sc, psc, cellmap, occ, alb = sparse_world
+    occ = occ * 0.6
+    rng2 = np.random.default_rng(9)
+    alb = rng2.uniform(0.2, 1.0, alb.shape).astype(np.float32)
+
+    origins, dirs = rays_toward(rng, 48)
+    bg = np.zeros((48, 3), np.float32)
+    tgt = np.full((48, 3), 0.4, np.float32)
+
+    def loss_np(occ_v, alb_v):
+        loss, _ = l2_loss_and_grads_sparse(
+            jnp.asarray(origins), jnp.asarray(dirs), psc, cellmap,
+            jnp.asarray(occ_v), jnp.asarray(alb_v), jnp.asarray(bg),
+            jnp.asarray(tgt), GRID, k_segments=8, interpret=True)
+        return float(loss)
+
+    loss, (docc, dalb) = l2_loss_and_grads_sparse(
+        jnp.asarray(origins), jnp.asarray(dirs), psc, cellmap,
+        jnp.asarray(occ), jnp.asarray(alb), jnp.asarray(bg),
+        jnp.asarray(tgt), GRID, k_segments=8, interpret=True)
+    docc = np.asarray(docc)
+    dalb = np.asarray(dalb)
+    assert np.isfinite(float(loss))
+    assert np.abs(docc).sum() > 0 and np.abs(dalb).sum() > 0
+
+    h = 1e-3
+    # FD over the largest-gradient occupancy entries (visited voxels).
+    flat = np.abs(docc).ravel()
+    for idx in np.argsort(flat)[-4:]:
+        p, l = np.unravel_index(idx, docc.shape)
+        occ_p = occ.copy(); occ_p[p, l] += h
+        occ_m = occ.copy(); occ_m[p, l] -= h
+        fd = (loss_np(occ_p, alb) - loss_np(occ_m, alb)) / (2 * h)
+        assert abs(fd - docc[p, l]) < 5e-3 * max(1.0, abs(fd)), \
+            (p, l, fd, docc[p, l])
+
+    flat = np.abs(dalb).ravel()
+    for idx in np.argsort(flat)[-3:]:
+        p, l, c = np.unravel_index(idx, dalb.shape)
+        alb_p = alb.copy(); alb_p[p, l, c] += h
+        alb_m = alb.copy(); alb_m[p, l, c] -= h
+        fd = (loss_np(alb_v=alb_p, occ_v=occ) - loss_np(alb_v=alb_m,
+                                                        occ_v=occ)) / (2 * h)
+        assert abs(fd - dalb[p, l, c]) < 5e-3 * max(1.0, abs(fd)), \
+            (p, l, c, fd, dalb[p, l, c])
