@@ -18,17 +18,27 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 
+class CliError(RuntimeError):
+    """User-facing error: printed as a message, not a traceback."""
+
+
 def _build_world(args, cfg):
     from .. import scene as scene_mod
 
     if getattr(args, "load", None):
-        sc = scene_mod.load_scene(args.load)
+        if not os.path.exists(args.load):
+            raise CliError(f"scene file not found: {args.load}")
+        try:
+            sc = scene_mod.load_scene(args.load)
+        except Exception as e:
+            raise CliError(f"could not load scene {args.load}: {e}") from e
         print(f"loaded {args.load}", file=sys.stderr)
     else:
         t0 = time.time()
@@ -53,17 +63,40 @@ def _to_device(sc):
     )
 
 
+def _camera_for(args, position, look):
+    from ..render.camera import Camera
+
+    if args.angles:
+        h, v = args.angles
+        return Camera.from_angles(position, h, v,
+                                  focal_distance=args.focal_distance,
+                                  lens_radius=args.lens_radius)
+    d = np.asarray(look, np.float64) - np.asarray(position, np.float64)
+    n = np.linalg.norm(d)
+    if n < 1e-9:
+        raise CliError("--camera and --look coincide; no view direction")
+    d = d / n
+    return Camera(position=tuple(float(p) for p in position),
+                  direction=tuple(d),
+                  focal_distance=args.focal_distance,
+                  lens_radius=args.lens_radius)
+
+
 def cmd_render(args) -> int:
+    """Progressive render; with --turntable, a scripted camera path with
+    accumulation reset on every camera move (the reference's interactive
+    reset, kernel.cu:387-403, driven by waypoints instead of WASD)."""
     import jax
     import jax.numpy as jnp
 
     from ..config import BrickmapConfig, GridConfig, RenderConfig
     from ..ops import sunsky as ss
     from ..render import pathtrace
-    from ..render.camera import Camera
     from ..utils.image import write_png
     from ..utils.metrics import FrameTimer, MetricsLogger
 
+    if args.spp < 1:
+        raise CliError("--spp must be >= 1")
     cfg = BrickmapConfig(
         grid=GridConfig(grid_size=args.world, grid_height=args.world_height),
         render=RenderConfig(width=args.width, height=args.height,
@@ -73,23 +106,6 @@ def cmd_render(args) -> int:
                             lens_radius=args.lens_radius),
     )
     sc = _build_world(args, cfg)
-    jsc = _to_device(sc)
-
-    if args.angles:
-        h, v = args.angles
-        cam = Camera.from_angles(args.camera, h, v,
-                                 focal_distance=args.focal_distance,
-                                 lens_radius=args.lens_radius)
-    else:
-        d = np.asarray(args.look) - np.asarray(args.camera)
-        d = d / np.linalg.norm(d)
-        cam = Camera(position=tuple(args.camera), direction=tuple(d),
-                     focal_distance=args.focal_distance,
-                     lens_radius=args.lens_radius)
-
-    sun = ss.sun_direction_from_position(jnp.asarray(args.sun))
-    arrays = pathtrace.camera_arrays_for(cam, sun, args.width, args.height)
-    cam_brick = jnp.asarray(cam.brick_position, jnp.int32)
 
     mgr = None
     if args.streaming:
@@ -99,47 +115,94 @@ def cmd_render(args) -> int:
         # render executables (~minutes through the remote tunnel), so unlike
         # the reference's cheap cudaMalloc doubling (Scene.cpp:235-250) we
         # start near the expected resident set.
-        mgr = StreamingScene(sc, cfg.grid, starting_capacity=256)
-        jsc = mgr.device_scene()
+        mgr = StreamingScene(sc, cfg.grid, starting_capacity=256,
+                             paged=args.engine == "paged")
+        jsc = mgr.device_paged() if args.engine == "paged" \
+            else mgr.device_scene()
+    elif args.engine == "paged":
+        from ..pallas.paged import build_paged_scene
 
-    film = pathtrace.film_init(args.width, args.height)
+        jsc = jax.tree.map(jnp.asarray, build_paged_scene(sc, cfg.grid))
+    else:
+        jsc = _to_device(sc)
+
+    sun = ss.sun_direction_from_position(jnp.asarray(args.sun))
+
+    # Camera schedule: static, or a turntable orbit around --look (one frame
+    # per position; moving the camera resets accumulation like the
+    # reference's camera-delta check).
+    def camera_at(frame):
+        if not args.turntable:
+            return _camera_for(args, args.camera, args.look)
+        look = np.asarray(args.look, np.float64)
+        rel = np.asarray(args.camera, np.float64) - look
+        th = 2.0 * np.pi * frame / args.turntable
+        rot = np.array([[np.cos(th), -np.sin(th), 0.0],
+                        [np.sin(th), np.cos(th), 0.0],
+                        [0.0, 0.0, 1.0]])
+        return _camera_for(args, tuple(look + rot @ rel), tuple(look))
+
+    frames = args.turntable if args.turntable else 1
     timer = FrameTimer()
     metrics = MetricsLogger(args.metrics, echo=args.verbose)
-    for s in range(args.spp):
-        t0 = time.perf_counter()
-        rgb, count, req = pathtrace.render_wave(
-            jax.random.PRNGKey(args.seed + s), jsc, arrays, cam_brick, cfg,
-            args.width, args.height)
-        film = pathtrace.film_add(film, rgb, count)
-        jax.block_until_ready(film["rgb"])
-        dt = time.perf_counter() - t0
-        timer.add(dt)
-        uploads = 0
-        if mgr is not None:
-            # The per-frame CPU half of streaming (main.cpp:144 ->
-            # Scene::process_load_queue): service this wave's brick requests,
-            # then render against the updated residency next wave.
-            mask = np.asarray(req["mask"])
-            if mask.any():
-                uploads = mgr.process_requests(
-                    map(tuple, np.asarray(req["pos"])[mask]))
-                jsc = mgr.device_scene()
-        metrics.log(s, wave_s=dt, traced=int(req["traced_rays"]),
-                    mrays_s=int(req["traced_rays"]) / dt / 1e6,
-                    uploads=uploads)
-        if args.verbose:
-            extra = f" uploads {uploads}" if mgr is not None else ""
-            print(f"wave {s}: {dt*1000:.0f} ms{extra}", file=sys.stderr)
+    prev_cam = None
+    film = None
+    wave_idx = 0
+    for frame in range(frames):
+        cam = camera_at(frame)
+        if cam != prev_cam:
+            # Accumulation reset on camera change (kernel.cu:387-403).
+            film = pathtrace.film_init(args.width, args.height)
+            prev_cam = cam
+        arrays = pathtrace.camera_arrays_for(cam, sun, args.width,
+                                             args.height)
+        cam_brick = jnp.asarray(cam.brick_position, jnp.int32)
+        for s in range(args.spp):
+            t0 = time.perf_counter()
+            rgb, count, req = pathtrace.render_wave(
+                jax.random.PRNGKey(args.seed + wave_idx), jsc, arrays,
+                cam_brick, cfg, args.width, args.height)
+            film = pathtrace.film_add(film, rgb, count)
+            jax.block_until_ready(film["rgb"])
+            dt = time.perf_counter() - t0
+            timer.add(dt)
+            uploads = 0
+            if mgr is not None:
+                # The per-frame CPU half of streaming (main.cpp:144 ->
+                # Scene::process_load_queue): service this wave's requests,
+                # then render against the updated residency next wave.
+                mask = np.asarray(req["mask"])
+                if mask.any():
+                    uploads = mgr.process_requests(
+                        map(tuple, np.asarray(req["pos"])[mask]))
+                    jsc = mgr.device_paged() if args.engine == "paged" \
+                        else mgr.device_scene()
+            metrics.log(wave_idx, wave_s=dt, traced=int(req["traced_rays"]),
+                        mrays_s=int(req["traced_rays"]) / dt / 1e6,
+                        uploads=uploads)
+            if args.verbose:
+                extra = f" uploads {uploads}" if mgr is not None else ""
+                print(f"frame {frame} wave {s}: {dt*1000:.0f} ms{extra}",
+                      file=sys.stderr)
+            wave_idx += 1
+            if args.preview_every and (s + 1) % args.preview_every == 0 \
+                    and s + 1 < args.spp:
+                img = np.asarray(pathtrace.tonemap(film, args.width,
+                                                   args.height))
+                write_png(args.out, img)
+        img = np.asarray(pathtrace.tonemap(film, args.width, args.height))
+        out = args.out if frames == 1 else \
+            args.out.replace(".png", f"_{frame:03d}.png")
+        write_png(out, img)
     if mgr is not None:
         res = mgr.dump()
         print(f"streaming: {int(res.sum())} bricks resident, "
               f"{mgr.total_uploaded} uploaded, {mgr.total_dropped} dropped",
               file=sys.stderr)
 
-    img = np.asarray(pathtrace.tonemap(film, args.width, args.height))
-    write_png(args.out, img)
     stats = timer.stats()
-    print(json.dumps({"out": args.out, "spp": args.spp, **stats}))
+    print(json.dumps({"out": args.out, "spp": args.spp, "frames": frames,
+                      **stats}))
     return 0
 
 
@@ -218,6 +281,8 @@ def cmd_info(args) -> int:
     from .. import scene as scene_mod
     from ..config import GridConfig
 
+    if not os.path.exists(args.load):
+        raise CliError(f"scene file not found: {args.load}")
     sc = scene_mod.load_scene(args.load)
     cz, cy, cx = sc.index_volume.shape
     grid = GridConfig(grid_size=cx * 8, grid_height=cz * 8)
@@ -256,6 +321,15 @@ def main(argv=None) -> int:
     pr.add_argument("--streaming", action="store_true",
                     help="start with all bricks unloaded and stream residency "
                          "from per-wave requests (reference C6-C8 pipeline)")
+    pr.add_argument("--engine", choices=["paged", "xla"], default="paged",
+                    help="traversal: hierarchical Pallas kernel (paged) or "
+                         "the lockstep XLA path")
+    pr.add_argument("--preview-every", type=int, default=0,
+                    help="write the progressive image to --out every N waves")
+    pr.add_argument("--turntable", type=int, default=0,
+                    help="render N frames orbiting --look (accumulation "
+                         "resets per camera move); frames saved as "
+                         "out_###.png")
     pr.add_argument("--verbose", action="store_true")
     pr.set_defaults(fn=cmd_render)
 
@@ -284,7 +358,14 @@ def main(argv=None) -> int:
     pn.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except CliError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    except FileNotFoundError as e:
+        print(f"error: file not found: {e.filename or e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

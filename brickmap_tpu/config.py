@@ -159,6 +159,7 @@ class RenderConfig:
     paged_march: int = 32            # cell steps per march phase
     paged_phases: int = 2            # march+descend phases per round
     paged_transit: int = 2           # empty-page ESS jumps per round
+    paged_fanout: int = 4            # pages marched per round (1-8)
 
     @property
     def num_pixels(self) -> int:

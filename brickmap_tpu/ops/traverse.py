@@ -347,8 +347,10 @@ def trace_rays(origin, direction, index_volume, pool_words, pool_base,
         txn = tx + kx.astype(f32) * tdx
         tyn = ty + ky.astype(f32) * tdy
         tzn = tz + kz.astype(f32) * tdz
-        # Last crossing axis = latest crossing time among stepped axes
-        # (z-priority on ties, mirroring the sequential mask semantics).
+        # Last crossing axis = latest crossing time among stepped axes.
+        # Tie-break is z-priority; sequential stepping would land on x for
+        # exactly-tied crossings (axis-diagonal rays on integer coordinates),
+        # an FP-measure-zero deviation affecting only the hit normal.
         neg = jnp.float32(-BIG)
         tlx = jnp.where(kx > 0, txn - tdx, neg)
         tly = jnp.where(ky > 0, tyn - tdy, neg)
@@ -377,7 +379,10 @@ def trace_rays(origin, direction, index_volume, pool_words, pool_base,
             p = jnp.trunc(so).astype(i32)
             cb = jnp.where(d > 0, p.astype(f32) + 1.0, p.astype(f32))
             t = jnp.where(d != 0.0, (cb - so) * rd, jnp.float32(BIG))
-            pl = p - (p // d_ext) * d_ext  # floor-mod (== C trunc-mod for p>=0)
+            # C trunc-mod (the epsilon-nudged origin can be slightly
+            # negative at the grid's zero faces; np.fmod semantics).
+            pl = jnp.where(p >= 0, p - (p // d_ext) * d_ext,
+                           -((-p) - ((-p) // d_ext) * d_ext))
             return pl, t
 
         sdx, sdtx = descend_axis(ox, dx, rdx, ntx)
@@ -739,7 +744,8 @@ def trace_rays_blocked(origin, direction, index_volume, block_words,
             p = jnp.trunc(so).astype(i32)
             cb = jnp.where(d > 0, p.astype(f32) + 1.0, p.astype(f32))
             t = jnp.where(d != 0.0, (cb - so) * rd, jnp.float32(BIG))
-            pl = p - (p // d_ext) * d_ext
+            pl = jnp.where(p >= 0, p - (p // d_ext) * d_ext,
+                           -((-p) - ((-p) // d_ext) * d_ext))
             return pl, t
 
         sdx, sdtx = descend_axis(ox, dx, rdx, ntx)

@@ -63,13 +63,15 @@ def _brick_kernel(words_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     act0 = act_ref[0] != 0
 
     def setup(o, d):
-        p = jnp.floor(o).astype(i32)  # origins are >= 0 (trunc == floor)
+        p = jnp.trunc(o).astype(i32)  # C trunc, matching dda_ref (origins may
+        # sit epsilon outside [0,8) after the entry nudge)
         stepf = jnp.sign(d)
         rd = jnp.where(d == 0.0, 0.0, 1.0 / d).astype(f32)
         cb = jnp.where(d > 0, p.astype(f32) + 1.0, p.astype(f32))
         t = jnp.where(d != 0.0, (cb - o) * rd, jnp.float32(BIG))
         td = stepf * rd
-        pl_ = p - (p // 8) * 8  # local voxel (trunc-mod of non-negative)
+        pl_ = jnp.where(p >= 0, p - (p // 8) * 8,
+                        -((-p) - ((-p) // 8) * 8))  # C trunc-mod
         out = jnp.where(d > 0, 8, -1).astype(i32)
         return pl_, stepf.astype(i32), t, td, out
 

@@ -124,8 +124,8 @@ def _sel16(words, widx):
 
 
 def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
-                 phase_iters: int, transit_iters: int, use_lod: bool,
-                 streaming: bool, nr4: int):
+                 phase_iters: int, transit_iters: int, pages_per_round: int,
+                 use_lod: bool, streaming: bool, nr4: int):
     """Build the kernel body (static geometry baked in)."""
     i32, f32 = jnp.int32, jnp.float32
     s = grid.supergrid_cell_size            # 16
@@ -289,6 +289,8 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
             return jnp.logical_and(st["rnd"] < max_page_rounds,
                                    jnp.max(st["alive"]) > 0)
 
+        NP = pages_per_round
+
         def round_body(st):
             alive = st["alive"] != 0
             sc = page_of(st["px"], st["py"], st["pz"])
@@ -296,19 +298,36 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
             dpage = _gather_scdist(scd, jnp.clip(sc_c, 0, nr4 * 1024 - 1))
             need = alive & ((dpage == 0)
                             | (st["wanty"] + st["wantb"] > 0))
-            vote = jnp.where(need, sc_c, DEAD_SC)
-            page_needed = jnp.min(vote)
-            page = jnp.where(page_needed < DEAD_SC, page_needed,
-                             jnp.min(sc_c))
-            page = jnp.clip(page, 0, meta_hbm.shape[0] - 1)
+            # Vote the NP smallest distinct needed pages: incoherent (bounce)
+            # tiles spread over many pages take NP pages per round instead of
+            # one.  page 0 also serves descends (its pool row is DMA'd).
+            page_ids = []
+            prev = jnp.int32(-1)
+            for _ in range(NP):
+                cand = jnp.where(need & (sc_c > prev), sc_c, DEAD_SC)
+                m = jnp.min(cand)
+                page_ids.append(m)
+                prev = m
+            page0 = jnp.where(page_ids[0] < DEAD_SC, page_ids[0],
+                              jnp.min(sc_c))
+            page0 = jnp.clip(page0, 0, meta_hbm.shape[0] - 1)
+            page_ids[0] = page0
+            # Unfilled slots become -1 (match no lane, DMA page 0 harmlessly).
+            page_ids = [page_ids[0]] + [
+                jnp.where(p < DEAD_SC, p, -1) for p in page_ids[1:]]
 
             # Page DMAs start now and retire exactly once per round (a second
             # wait on a DMA semaphore faults the core); the transit phase
             # below overlaps the copies.
-            cp_meta = pltpu.make_async_copy(meta_hbm.at[page], meta_s,
-                                            sem_meta)
-            cp_meta.start()
-            cp_pool = pltpu.make_async_copy(poolT_hbm.at[page], poolT_s,
+            copies = []
+            for k in range(NP):
+                cp = pltpu.make_async_copy(
+                    meta_hbm.at[jnp.clip(page_ids[k], 0,
+                                         meta_hbm.shape[0] - 1)],
+                    meta_s.at[k], sem_meta.at[k])
+                cp.start()
+                copies.append(cp)
+            cp_pool = pltpu.make_async_copy(poolT_hbm.at[page0], poolT_s,
                                             sem_pool)
             cp_pool.start()
 
@@ -323,7 +342,8 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 dp = _gather_scdist(
                     scd, jnp.clip(jnp.where(alive, sc, 0), 0,
                                   nr4 * 1024 - 1))
-                moving = marching & (sc != page) & (dp >= 1)
+                # Lanes in an empty page are never in a voted needed page.
+                moving = marching & (dp >= 1)
 
                 qx, qy, qz = px >> 4, py >> 4, pz >> 4
                 dm1 = dp - 1
@@ -380,11 +400,25 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
 
             st = jax.lax.fori_loop(0, transit_iters, transit, st)
 
-            cp_meta.wait()
+            for cp in copies:
+                cp.wait()
             cp_pool.wait()
-            occ_row = _bcast_row(meta_s[0])
-            loaded_row = _bcast_row(meta_s[1]) if streaming else occ_row
-            lod_tab = meta_s[2:10]
+            # One page's occupancy bits are exactly one 128-word row, so the
+            # NP voted pages stack into a single (8,128) register and the
+            # per-step test stays ONE arb-gather regardless of NP.
+            pad_rows = [jnp.zeros((8 - NP, 128), jnp.int32)] if NP < 8 else []
+            occ_tab = jnp.concatenate(
+                [meta_s[k, 0:1, :] for k in range(NP)] + pad_rows, axis=0)
+            loaded_tab = jnp.concatenate(
+                [meta_s[k, 1:2, :] for k in range(NP)] + pad_rows, axis=0) \
+                if streaming else occ_tab
+            lod_tab = meta_s[0, 2:10]
+
+            def page_slot_of(sc):
+                slot = jnp.full((8, 128), -1, i32)
+                for k in range(NP - 1, -1, -1):
+                    slot = jnp.where(sc == page_ids[k], k, slot)
+                return slot
 
             def phase(_, st):
                 # ---- march: in-voted-page cell DDA, early-exit while -------
@@ -398,12 +432,13 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                     px, py, pz = st["px"], st["py"], st["pz"]
                     tx, ty, tz = st["tx"], st["ty"], st["tz"]
                     axis0 = st["axis0"]
-                    in_voted = page_of(px, py, pz) == page
+                    pslot = page_slot_of(page_of(px, py, pz))
+                    in_voted = pslot >= 0
                     marching = alive & (st["wanty"] + st["wantb"] == 0)
 
                     lin = ((pz & 15) * s + (py & 15)) * s + (px & 15)
-                    col = (lin >> 5) & 127
-                    w = jnp.take_along_axis(occ_row, col, axis=1)
+                    col = (jnp.maximum(pslot, 0) << 7) | ((lin >> 5) & 127)
+                    w = _arb1024(occ_tab, col)
                     occ_bit = ((w >> (lin & 31)) & 1) != 0
                     testing = marching & in_voted & (st["skip"] == 0)
                     occ0 = testing & occ_bit
@@ -425,7 +460,7 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                         mid = far
                         near = jnp.ones((8, 128), bool)
                     if streaming:
-                        lw = jnp.take_along_axis(loaded_row, col, axis=1)
+                        lw = _arb1024(loaded_tab, col)
                         is_loaded = ((lw >> (lin & 31)) & 1) != 0
                     else:
                         is_loaded = jnp.ones((8, 128), bool)
@@ -461,9 +496,9 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                     miss = stepping & exited
                     alive3 = alive2 & ~miss
 
-                    # Lanes that just stepped within the voted page continue.
+                    # Lanes that just stepped within a voted page continue.
                     cont = stepping & ~exited \
-                        & (page_of(pxn, pyn, pzn) == page)
+                        & (page_slot_of(page_of(pxn, pyn, pzn)) >= 0)
                     st = dict(
                         st,
                         alive=alive3.astype(i32),
@@ -486,10 +521,10 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 _, _, st = jax.lax.while_loop(
                     march_cond, march, (jnp.int32(0), jnp.int32(1), st))
 
-                # ---- byte descends (2x2x2 over the LoD byte) ---------------
+                # ---- byte descends (2x2x2 over the LoD byte; page 0) -------
                 sc_now = page_of(st["px"], st["py"], st["pz"])
                 yb = (st["alive"] != 0) & (st["wanty"] != 0) \
-                    & (sc_now == page)
+                    & (sc_now == page0)
 
                 def do_byte(st):
                     lin = (((st["pz"] & 15) * s + (st["py"] & 15)) * s
@@ -519,10 +554,10 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 st = jax.lax.cond(jnp.max(yb.astype(i32)) > 0, do_byte,
                                   lambda st: st, st)
 
-                # ---- brick descends (8x8x8 over pool payload) --------------
+                # ---- brick descends (8x8x8 over pool payload; page 0) ------
                 sc_now = page_of(st["px"], st["py"], st["pz"])
                 bb = (st["alive"] != 0) & (st["wantb"] != 0) \
-                    & (sc_now == page)
+                    & (sc_now == page0)
 
                 def do_brick(st):
                     lin = (((st["pz"] & 15) * s + (st["py"] & 15)) * s
@@ -574,16 +609,17 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
 
 @partial(jax.jit,
          static_argnames=("grid", "max_page_rounds", "march_steps",
-                          "phase_iters", "transit_iters", "use_lod",
-                          "streaming", "interpret"))
+                          "phase_iters", "transit_iters", "pages_per_round",
+                          "use_lod", "streaming", "interpret"))
 def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
                 max_page_rounds: int, march_steps: int, phase_iters: int,
-                transit_iters: int, use_lod: bool, streaming: bool,
-                interpret: bool):
+                transit_iters: int, pages_per_round: int, use_lod: bool,
+                streaming: bool, interpret: bool):
     t_tiles = comps[0].shape[0]
     kernel = _make_kernel(grid, max_page_rounds=max_page_rounds,
                           march_steps=march_steps, phase_iters=phase_iters,
-                          transit_iters=transit_iters, use_lod=use_lod,
+                          transit_iters=transit_iters,
+                          pages_per_round=pages_per_round, use_lod=use_lod,
                           streaming=streaming, nr4=scd.shape[0])
     tile = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -608,9 +644,9 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
         out_specs=[tile] * 7,
         out_shape=out_sd,
         scratch_shapes=[
-            pltpu.VMEM((16, 128), jnp.int32),        # meta page
+            pltpu.VMEM((pages_per_round, 16, 128), jnp.int32),  # meta pages
             pltpu.VMEM((64, 4096), jnp.bfloat16),    # poolT page
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((pages_per_round,)),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -619,13 +655,14 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
 
 @partial(jax.jit,
          static_argnames=("grid", "max_page_rounds", "march_steps",
-                          "phase_iters", "transit_iters", "use_lod",
-                          "streaming", "interpret"))
+                          "phase_iters", "transit_iters", "pages_per_round",
+                          "use_lod", "streaming", "interpret"))
 def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
                      grid: GridConfig, max_page_rounds: int = 96,
                      march_steps: int = 48, phase_iters: int = 2,
-                     transit_iters: int = 2, use_lod: bool = True,
-                     streaming: bool = True, interpret: bool = False):
+                     transit_iters: int = 2, pages_per_round: int = 4,
+                     use_lod: bool = True, streaming: bool = True,
+                     interpret: bool = False):
     """Trace rays with the fused hierarchical kernel.
 
     Same contract/results as :func:`brickmap_tpu.ops.traverse.trace_rays`
@@ -660,8 +697,8 @@ def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
     cam = jnp.asarray(camera_brick_pos, jnp.int32)
     hit, t, ncode, req, reqpos, exh, rounds = _paged_call(
         cam, pscene.sc_dist, pscene.meta, pscene.poolT, tuple(comps), grid,
-        max_page_rounds, march_steps, phase_iters, transit_iters, use_lod,
-        streaming, interpret)
+        max_page_rounds, march_steps, phase_iters, transit_iters,
+        pages_per_round, use_lod, streaming, interpret)
 
     def unpad(a):
         return a.reshape(-1)[:n]

@@ -55,6 +55,80 @@ def tonemap(film, width: int, height: int):
     return jnp.clip(img, 0.0, 1.0).reshape(height, width, 3)
 
 
+def _compact_trace(o_all, d_all, live, scene, cam_brick, cfg: BrickmapConfig,
+                   bucket: int):
+    """Trace only the live lanes, packed into a ``bucket``-lane buffer.
+
+    Scattered live lanes (a few % after bounce 1) otherwise keep every ray
+    tile alive and pay the full lockstep traversal cost — measured 10-20x
+    slower than tracing the same rays densely packed.  The pack index is a
+    cumsum (no sort); results scatter back to full shape with dead-lane
+    defaults.  ``bucket`` is static, chosen per wave by the host from the
+    live count (a handful of executables, compiled once each).
+    """
+    m = o_all.shape[0]
+    pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+    src = jnp.full((bucket,), -1, jnp.int32)
+    src = src.at[jnp.where(live, pos, bucket)].set(
+        jnp.arange(m, dtype=jnp.int32), mode="drop")
+    valid = src >= 0
+    safe = jnp.maximum(src, 0)
+    # Tail lanes (bucket > live count) get clip-failing rays (cost ~nothing).
+    oc = jnp.where(valid[:, None], jnp.take(o_all, safe, axis=0), -10.0)
+    dc = jnp.where(valid[:, None], jnp.take(d_all, safe, axis=0), -1.0)
+
+    # Packing alone brings distant pixels into the same ray tile and destroys
+    # the page coherence the kernel's votes rely on (measured: no speedup).
+    # Sort the packed lanes by (origin superchunk, direction octant) so each
+    # tile's rays share pages.
+    s16 = float(cfg.grid.brick_size * cfg.grid.supergrid_cell_size)
+    q = jnp.clip((oc / s16).astype(jnp.int32), 0,
+                 max(cfg.grid.supergrid_xy, cfg.grid.supergrid_z) - 1)
+    page = (q[:, 0] + q[:, 1] * cfg.grid.supergrid_xy
+            + q[:, 2] * cfg.grid.supergrid_xy ** 2)
+    octant = ((dc[:, 0] > 0).astype(jnp.int32)
+              + 2 * (dc[:, 1] > 0).astype(jnp.int32)
+              + 4 * (dc[:, 2] > 0).astype(jnp.int32))
+    key = jnp.where(valid, page * 8 + octant, jnp.int32(2 ** 30))
+    order = jnp.argsort(key)
+    res_c = _trace(jnp.take(oc, order, axis=0), jnp.take(dc, order, axis=0),
+                   scene, cam_brick, cfg)
+
+    src_sorted = jnp.take(src, order, axis=0)
+    back_idx = jnp.where(jnp.take(valid, order, axis=0), src_sorted, m)
+
+    def back(x, default, dtype=None):
+        full = jnp.full((m, *x.shape[1:]), default, dtype or x.dtype)
+        return full.at[back_idx].set(x, mode="drop")
+
+    return {
+        "hit": back(res_c["hit"], False),
+        "t": back(res_c["t"], 0.0),
+        "normal": back(res_c["normal"], 0.0),
+        "request": back(res_c["request"], False),
+        "request_pos": back(res_c["request_pos"], 0),
+    }
+
+
+def _pick_bucket(count: int, m: int) -> int | None:
+    """Smallest compaction bucket holding ``count`` live lanes (None = no
+    compaction; buckets are static so only a few executables ever compile)."""
+    for frac in (16, 4, 2):
+        b = max(-(-m // frac) // 1024 * 1024, 4096)
+        if count <= b and b < m:
+            return b
+    return None
+
+
+@jax.jit
+def _live_count_dev(a, b):
+    return jnp.sum(a.astype(jnp.int32)) + jnp.sum(b.astype(jnp.int32))
+
+
+def _live_count(st):
+    return int(_live_count_dev(st["active"], st["sh_active"]))
+
+
 def _trace(origins, dirs, scene, cam_brick, cfg: BrickmapConfig):
     from ..pallas.paged import PagedScene
 
@@ -69,6 +143,7 @@ def _trace(origins, dirs, scene, cam_brick, cfg: BrickmapConfig):
             march_steps=cfg.render.paged_march,
             phase_iters=cfg.render.paged_phases,
             transit_iters=cfg.render.paged_transit,
+            pages_per_round=cfg.render.paged_fanout,
             interpret=jax.devices()[0].platform == "cpu",
         )
     if scene.block_words is not None:
@@ -79,11 +154,14 @@ def _trace(origins, dirs, scene, cam_brick, cfg: BrickmapConfig):
             chunk=cfg.render.rays_per_chunk,
             max_outer=cfg.render.max_top_steps,
         )
+    # The iteration budget is per traversal call and shared across DDA
+    # levels: a grazing ray can descend into many bricks (~22 iterations
+    # each), so size it from traversal geometry, not bounce count.
     return trace_rays(
         origins, dirs,
         scene.index_volume, scene.pool_words, scene.pool_base,
         cam_brick, cfg.grid, max_iters=cfg.render.max_top_steps
-        + (cfg.render.max_bounces + 2) * cfg.render.max_brick_steps,
+        + 32 * (cfg.render.max_brick_steps + cfg.render.max_byte_steps),
     )
 
 
@@ -104,6 +182,21 @@ def wave_for_indices(key, idx, scene, camera_arrays, cam_brick,
         st = _bounce_step(jnp.int32(bounce), k_b, st, scene, cam_brick,
                           camera_arrays["sun_direction"], cfg)
     return _final_shadow(st, scene, cam_brick, cfg)
+
+
+def _bucketed_wave(key, st, scene, cam_brick, sun_dir, cfg: BrickmapConfig):
+    """Shared bounce loop with host-picked compaction buckets (the live
+    count is pulled per bounce; bounce 0 is always fully live)."""
+    n = st["origins"].shape[0]
+    k_loop = key
+    for bounce in range(cfg.render.max_bounces + 1):
+        k_loop, k_b = jax.random.split(k_loop)
+        bucket = None if bounce == 0 else _pick_bucket(_live_count(st), 2 * n)
+        st = _bounce_step(jnp.int32(bounce), k_b, st, scene, cam_brick,
+                          sun_dir, cfg, bucket=bucket)
+    fbucket = _pick_bucket(
+        int(jnp.sum(st["sh_active"].astype(jnp.int32))), n)
+    return _final_shadow(st, scene, cam_brick, cfg, bucket=fbucket)
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
@@ -139,14 +232,14 @@ def _primary_state(key, camera_arrays, cfg: BrickmapConfig, width: int,
     }
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "bucket"))
 def _bounce_step(bounce, key, st, scene, cam_brick, sun_dir,
-                 cfg: BrickmapConfig):
+                 cfg: BrickmapConfig, bucket: int | None = None):
     """One bounce: combined extend+connect traversal, then shade + NEE.
 
-    ``bounce`` is traced, so a single executable serves every bounce of every
-    wave (the reference relaunches the same five kernels per frame,
-    kernel.cu:416-420 — same idea, one fused launch here).
+    ``bounce`` is traced, so one executable serves every bounce at a given
+    compaction ``bucket`` (the reference relaunches the same five kernels per
+    frame, kernel.cu:416-420 — same idea, one fused launch here).
     """
     n = st["origins"].shape[0]
     active, sh_active = st["active"], st["sh_active"]
@@ -154,10 +247,14 @@ def _bounce_step(bounce, key, st, scene, cam_brick, sun_dir,
     eps = cfg.grid.epsilon
 
     traced = st["traced"] + jnp.sum(active) + jnp.sum(sh_active)
-    res = _trace(
-        jnp.concatenate([origins, st["sh_o"]], axis=0),
-        jnp.concatenate([dirs, st["sh_d"]], axis=0),
-        scene, cam_brick, cfg)
+    o_all = jnp.concatenate([origins, st["sh_o"]], axis=0)
+    d_all = jnp.concatenate([dirs, st["sh_d"]], axis=0)
+    if bucket is None:
+        res = _trace(o_all, d_all, scene, cam_brick, cfg)
+    else:
+        live = jnp.concatenate([active, sh_active])
+        res = _compact_trace(o_all, d_all, live, scene, cam_brick, cfg,
+                             bucket)
     ext_hit = res["hit"][:n]
     ext_t = res["t"][:n]
     ext_n = res["normal"][:n]
@@ -214,10 +311,15 @@ def _bounce_step(bounce, key, st, scene, cam_brick, sun_dir,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _final_shadow(st, scene, cam_brick, cfg: BrickmapConfig):
+@partial(jax.jit, static_argnames=("cfg", "bucket"))
+def _final_shadow(st, scene, cam_brick, cfg: BrickmapConfig,
+                  bucket: int | None = None):
     traced = st["traced"] + jnp.sum(st["sh_active"])
-    res = _trace(st["sh_o"], st["sh_d"], scene, cam_brick, cfg)
+    if bucket is None:
+        res = _trace(st["sh_o"], st["sh_d"], scene, cam_brick, cfg)
+    else:
+        res = _compact_trace(st["sh_o"], st["sh_d"], st["sh_active"], scene,
+                             cam_brick, cfg, bucket)
     accum = st["accum"] + jnp.where(
         (st["sh_active"] & ~res["hit"])[:, None], st["sh_color"], 0.0)
     req_mask = st["req_mask"] | (res["request"] & st["sh_active"])
@@ -269,11 +371,8 @@ def render_wave(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
     k_pix, k_loop = jax.random.split(key)
     st = _primary_state(k_pix, camera_arrays, cfg, width, height,
                         pixel_order=perm_j)
-    for bounce in range(cfg.render.max_bounces + 1):
-        k_loop, k_b = jax.random.split(k_loop)
-        st = _bounce_step(jnp.int32(bounce), k_b, st, scene, cam_brick,
-                          camera_arrays["sun_direction"], cfg)
-    rgb, count, req = _final_shadow(st, scene, cam_brick, cfg)
+    rgb, count, req = _bucketed_wave(k_loop, st, scene, cam_brick,
+                                     camera_arrays["sun_direction"], cfg)
     return (jnp.take(rgb, inv_j, axis=0), jnp.take(count, inv_j, axis=0),
             dict(req, mask=jnp.take(req["mask"], inv_j, axis=0),
                  pos=jnp.take(req["pos"], inv_j, axis=0)))

@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--march", type=int, default=12)
     ap.add_argument("--phases", type=int, default=2)
+    ap.add_argument("--fanout", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -99,13 +100,15 @@ def main():
         r = trace_rays_paged(o, d, psc, cb, cfg.grid,
                              max_page_rounds=args.rounds,
                              march_steps=args.march,
-                             phase_iters=args.phases)
+                             phase_iters=args.phases,
+                             pages_per_round=args.fanout)
         nh = int(np.asarray(r["hit"]).sum())
         t0 = time.perf_counter()
         r = trace_rays_paged(o, d, psc, cb, cfg.grid,
                              max_page_rounds=args.rounds,
                              march_steps=args.march,
-                             phase_iters=args.phases)
+                             phase_iters=args.phases,
+                             pages_per_round=args.fanout)
         nh = int(np.asarray(r["hit"]).sum())
         dt = time.perf_counter() - t0
         totals["paged"] += dt
@@ -129,13 +132,15 @@ def main():
             rb = trace_rays_paged(bo, bd, psc, cb, cfg.grid,
                                   max_page_rounds=args.rounds,
                                   march_steps=args.march,
-                                  phase_iters=args.phases)
+                                  phase_iters=args.phases,
+                                  pages_per_round=args.fanout)
             int(np.asarray(rb["hit"]).sum())
             t0 = time.perf_counter()
             rb = trace_rays_paged(bo, bd, psc, cb, cfg.grid,
                                   max_page_rounds=args.rounds,
                                   march_steps=args.march,
-                                  phase_iters=args.phases)
+                                  phase_iters=args.phases,
+                                  pages_per_round=args.fanout)
             nhb = int(np.asarray(rb["hit"]).sum())
             dtb = time.perf_counter() - t0
             sdir = cone_sample(jax.random.PRNGKey(7), jnp.asarray(
@@ -144,7 +149,8 @@ def main():
             rs = trace_rays_paged(bo, sdir, psc, cb, cfg.grid,
                                   max_page_rounds=args.rounds,
                                   march_steps=args.march,
-                                  phase_iters=args.phases)
+                                  phase_iters=args.phases,
+                                  pages_per_round=args.fanout)
             nhs = int(np.asarray(rs["hit"]).sum())
             dts = time.perf_counter() - t0
             print(f"        bounce {n/dtb/1e6:8.2f} Mrays/s ({dtb*1e3:7.1f} ms)"

@@ -61,17 +61,26 @@ for rep in range(2):
     sync(st["origins"])
     t1 = time.perf_counter()
     print(f"rep{rep} primary_state: {(t1-t0)*1e3:8.1f} ms")
+    n = w * h
     for b in range(cfg.render.max_bounces + 1):
         tb = time.perf_counter()
+        bucket = None if b == 0 else pathtrace._pick_bucket(
+            pathtrace._live_count(st), 2 * n)
+        tcount = time.perf_counter() - tb
         st = pathtrace._bounce_step(jnp.int32(b), jax.random.fold_in(key, b),
                                     st, psc, cam_brick,
-                                    arrays["sun_direction"], cfg)
+                                    arrays["sun_direction"], cfg,
+                                    bucket=bucket)
         sync(st["accum"])
         na = int(np.asarray(st["active"]).sum())
         ns = int(np.asarray(st["sh_active"]).sum())
         print(f"rep{rep} bounce {b}: {(time.perf_counter()-tb)*1e3:8.1f} ms "
-              f"(active {na}, shadow {ns})")
+              f"(count {tcount*1e3:.0f} ms, bucket {bucket}, "
+              f"active {na}, shadow {ns})")
     tb = time.perf_counter()
-    out = pathtrace._final_shadow(st, psc, cam_brick, cfg)
+    fbucket = pathtrace._pick_bucket(
+        int(np.asarray(st["sh_active"]).sum()), n)
+    out = pathtrace._final_shadow(st, psc, cam_brick, cfg, bucket=fbucket)
     sync(out[0])
-    print(f"rep{rep} final_shadow: {(time.perf_counter()-tb)*1e3:8.1f} ms")
+    print(f"rep{rep} final_shadow: {(time.perf_counter()-tb)*1e3:8.1f} ms "
+          f"(bucket {fbucket})")

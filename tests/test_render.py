@@ -120,3 +120,62 @@ def test_paged_wave_matches_voxel_wave(world):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(req_p["mask"]),
                                   np.asarray(req_v["mask"]))
+
+
+def test_wave_image_matches_oracle_shading(world):
+    """Image-level parity vs the scalar oracle (stronger than the BASELINE
+    'converged images allclose within noise': the estimator is deterministic
+    given its RNG draws, so one wave must match the oracle-traced shade
+    pixel-for-pixel)."""
+    from brickmap_tpu.ops import sunsky as ss
+    from brickmap_tpu.render.sampling import cone_sample
+
+    sc, jsc, cam, arrays, cam_brick = world
+    import dataclasses
+
+    cfg0 = CFG.replace(render=dataclasses.replace(CFG.render, max_bounces=0))
+
+    key = jax.random.PRNGKey(21)
+    k_pix, k_loop = jax.random.split(key)
+    st = pathtrace._primary_state(k_pix, arrays, cfg0, W, H)
+    k_loop, k_b = jax.random.split(k_loop)
+    st = pathtrace._bounce_step(jnp.int32(0), k_b, st, jsc, cam_brick,
+                                arrays["sun_direction"], cfg0)
+    rgb, count, _ = pathtrace._final_shadow(st, jsc, cam_brick, cfg0)
+    rgb = np.asarray(rgb)
+
+    # Replicate the wave's RNG draws to shade with the oracle.
+    origins0 = np.asarray(pathtrace._primary_state(
+        k_pix, arrays, cfg0, W, H)["origins"])
+    dirs0 = np.asarray(pathtrace._primary_state(
+        k_pix, arrays, cfg0, W, H)["dirs"])
+    k_cone, _ = jax.random.split(k_b)
+    sdirs = np.asarray(cone_sample(k_cone, arrays["sun_direction"],
+                                   ss.cone_extent(cfg0.sky), shape=(W * H,)))
+    sun_dir = np.asarray(arrays["sun_direction"])
+    sunsky_v = np.asarray(ss.sunsky(jnp.asarray(dirs0),
+                                    jnp.asarray(sun_dir), cfg0.sky))
+    sun_v = np.asarray(ss.sun(jnp.asarray(sdirs), jnp.asarray(sun_dir),
+                              cfg0.sky))
+
+    cam_np = np.asarray(cam.brick_position, np.int64)
+    eps = cfg0.grid.epsilon
+    expected = np.zeros((W * H, 3), np.float32)
+    for i in range(0, W * H, 7):
+        r = dda_ref.intersect_voxel(origins0[i], dirs0[i], sc, cfg0.grid,
+                                    cam_np)
+        if not r.hit:
+            expected[i] = sunsky_v[i]
+            continue
+        nrm = r.normal if (r.normal != 0).any() else -dirs0[i]
+        hp = origins0[i] + dirs0[i] * r.distance + nrm * (2 * eps)
+        cosw = float(nrm @ sdirs[i])
+        if cosw <= 0:
+            continue
+        occ = dda_ref.intersect_voxel(hp, sdirs[i], sc, cfg0.grid, cam_np)
+        if not occ.hit:
+            expected[i] = sun_v[i] * cosw * 1e-5
+    for i in range(0, W * H, 7):
+        np.testing.assert_allclose(
+            rgb[i], expected[i], atol=5e-4, rtol=2e-3,
+            err_msg=f"pixel {i}: o={origins0[i]} d={dirs0[i]}")
