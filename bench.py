@@ -138,11 +138,13 @@ def main() -> None:
     fwd = run_forward_benchmark(scene, cfg, waves_per_view=args.waves,
                                 scale=scale, verbose=True)
 
-    # fwd+bwd: differentiable render + gradient step at the same resolution
-    # over a dense grid (config 5 scale).
+    # fwd+bwd: differentiable render + gradient step at the same resolution.
     fwd_bwd_mrays = None
+    sparse_bwd_mrays = None
     try:
-        fwd_bwd_mrays = _bwd_bench(cfg) if not args.skip_bwd else None
+        if not args.skip_bwd:
+            fwd_bwd_mrays = _bwd_bench(cfg)
+            sparse_bwd_mrays = _sparse_bwd_bench(cfg)
     except Exception as e:  # never lose the headline JSON line
         print(f"fwd+bwd bench failed: {e}", file=sys.stderr)
 
@@ -161,6 +163,8 @@ def main() -> None:
         "unit": "Mrays/s",
         "vs_baseline": None,  # reference publishes no numbers (BASELINE.md)
         "fwd_bwd_mrays_per_s": round(fwd_bwd_mrays, 3) if fwd_bwd_mrays else None,
+        "sparse_fwd_bwd_mrays_per_s": round(sparse_bwd_mrays, 3)
+        if sparse_bwd_mrays else None,
         "pallas_brick_mrays_per_s": round(pallas_mrays, 1) if pallas_mrays else None,
         "per_view_mrays": [round(r["mrays_per_s"], 2) for r in fwd["per_view"]],
         "avg_ms": round(sum(r["avg_ms"] for r in fwd["per_view"])
@@ -199,6 +203,56 @@ def _bwd_bench(cfg):
         float(out[0])
     dt = time.perf_counter() - t0
     return reps * n / dt / 1e6
+
+
+def _sparse_bwd_bench(cfg):
+    """fwd+bwd over the SPARSE brick pool at benchmark resolution: Pallas
+    segment recording + bounded-K replay gradients (diff/sparse.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from brickmap_tpu import scene as scene_mod
+    from brickmap_tpu.config import GridConfig
+    from brickmap_tpu.diff.sparse import (
+        cell_pool_map, l2_loss_and_grads_sparse, pool_fields_from_bitmask)
+    from brickmap_tpu.pallas.paged import build_paged_scene
+
+    grid = GridConfig(grid_size=1024, grid_height=256)
+    sc = scene_mod.load_scene(os.path.join(CACHE, "scene_small.npz")) \
+        if os.path.exists(os.path.join(CACHE, "scene_small.npz")) \
+        else scene_mod.generate_terrain_scene(grid)
+    psc = jax.tree.map(jnp.asarray, build_paged_scene(sc, grid))
+    cellmap = jnp.asarray(cell_pool_map(sc, grid))
+    occ, alb = pool_fields_from_bitmask(sc)
+    occ_j = jnp.asarray(occ * 0.8)
+    alb_j = jnp.asarray(alb * 0.6)
+
+    rng = np.random.default_rng(0)
+    n = cfg.render.width * cfg.render.height
+    # Downward rays over the terrain (the inverse-rendering workload).
+    ox = rng.uniform(64, 960, n).astype(np.float32)
+    oy = rng.uniform(64, 960, n).astype(np.float32)
+    oz = np.full(n, 250.0, np.float32)
+    origins = np.stack([ox, oy, oz], 1)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs[:, 2] = -np.abs(dirs[:, 2]) - 1.0
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    bg = jnp.zeros((n, 3), jnp.float32)
+    tgt = jnp.full((n, 3), 0.4, jnp.float32)
+
+    def run():
+        loss, grads = l2_loss_and_grads_sparse(
+            jnp.asarray(origins), jnp.asarray(dirs), psc, cellmap, occ_j,
+            alb_j, bg, tgt, grid, k_segments=8)
+        return float(loss)
+
+    run()
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return n / best / 1e6
 
 
 def _pallas_brick_bench():

@@ -9,6 +9,13 @@ Mrays/s instead of the reference's avg/min/max ms (``performance_measure.cpp:
 Viewpoint-pinning mirrors ``measure_convergence`` (performance_measure.cpp:
 74-76); the reference has 9 positions but only 8 angle entries (its index 8
 reads out of bounds), so angles wrap modulo 8 here.
+
+Viewpoint geometry note: positions 4-8 lie OUTSIDE the world AABB even in
+the reference (e.g. x=11298 vs grid_size 4096, z=5531 vs height 512) — the
+scripted camera flies out and looks back, so most of those rays miss or
+clip the world edge.  Scaling positions by world_size/4096 for smaller
+worlds preserves that outside-looking-in geometry; it is the protocol, not
+a bug (performance_measure.h:4-14).
 """
 
 from __future__ import annotations

@@ -142,12 +142,16 @@ def cmd_render(args) -> int:
                         [0.0, 0.0, 1.0]])
         return _camera_for(args, tuple(look + rot @ rel), tuple(look))
 
+    from ..utils.profiling import trace as profile_trace
+
     frames = args.turntable if args.turntable else 1
     timer = FrameTimer()
     metrics = MetricsLogger(args.metrics, echo=args.verbose)
     prev_cam = None
     film = None
     wave_idx = 0
+    prof = profile_trace(args.profile)
+    prof.__enter__()
     for frame in range(frames):
         cam = camera_at(frame)
         if cam != prev_cam:
@@ -194,6 +198,7 @@ def cmd_render(args) -> int:
         out = args.out if frames == 1 else \
             args.out.replace(".png", f"_{frame:03d}.png")
         write_png(out, img)
+    prof.__exit__(None, None, None)
     if mgr is not None:
         res = mgr.dump()
         print(f"streaming: {int(res.sum())} bricks resident, "
@@ -318,6 +323,9 @@ def main(argv=None) -> int:
     pr.add_argument("--load", default=None)
     pr.add_argument("--save-scene", default=None)
     pr.add_argument("--metrics", default=None)
+    pr.add_argument("--profile", default=None,
+                    help="capture a jax.profiler trace into this directory "
+                         "(view with tensorboard/xprof)")
     pr.add_argument("--streaming", action="store_true",
                     help="start with all bricks unloaded and stream residency "
                          "from per-wave requests (reference C6-C8 pipeline)")

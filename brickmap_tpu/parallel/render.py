@@ -27,7 +27,7 @@ from ..diff.render import composite_rays
 from ..render.pathtrace import wave_for_indices
 
 __all__ = ["make_mesh", "render_wave_sharded", "inverse_train_step",
-           "replicate", "shard_rays"]
+           "inverse_train_step_sparse", "replicate", "shard_rays"]
 
 
 def make_mesh(num_devices: int | None = None, axis: str = "rays") -> Mesh:
@@ -119,3 +119,29 @@ def inverse_train_step(mesh: Mesh, origin, direction, occupancy, albedo,
         return loss, docc, dalb
 
     return step(origin, direction, occupancy, albedo, background, target)
+
+
+def inverse_train_step_sparse(mesh: Mesh, origin, direction, pscene, cellmap,
+                              occupancy, albedo, background, target, grid,
+                              k_segments: int = 8, axis: str = "rays",
+                              interpret: bool = False):
+    """Data-parallel gradient step over the SPARSE pool fields (config 5 at
+    world scale): rays sharded, paged scene + pool fields replicated, grads
+    pmean'd over ICI.  The record kernel runs per shard."""
+    from ..diff.sparse import l2_loss_and_grads_sparse
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def step(o, dirs, psc, cm, occ, alb, bg, tgt):
+        loss, (docc, dalb) = l2_loss_and_grads_sparse(
+            o, dirs, psc, cm, occ, alb, bg, tgt, grid,
+            k_segments=k_segments, interpret=interpret)
+        return (jax.lax.pmean(loss, axis), jax.lax.pmean(docc, axis),
+                jax.lax.pmean(dalb, axis))
+
+    return step(origin, direction, pscene, cellmap, occupancy, albedo,
+                background, target)

@@ -279,3 +279,37 @@ def test_blocked_matches_oracle_lod(box_scene, rng):
         refs = [dda_ref.intersect_voxel(o, d, sc, GRID, cam)
                 for o, d in zip(origins, directions)]
         assert_match(res, refs, origins, directions)
+
+
+def test_aabb_clip_on_slab_planes(box_scene):
+    """Origins exactly on slab planes with zero direction components: 0/0
+    NaNs must be ignored (np.fmin/fmax semantics, voxel.cuh:13-24)."""
+    from brickmap_tpu.ops.traverse import aabb_clip
+
+    origins = np.array([
+        [0.0, 64.0, 30.0],     # on x=0 plane
+        [128.0, 64.0, 30.0],   # on x=max plane
+        [64.0, 0.0, 30.0],     # on y=0 plane
+        [64.0, 64.0, 128.0],   # on z=max plane
+        [0.0, 0.0, 30.0],      # on two planes at once
+    ], np.float32)
+    directions = np.array([
+        [0.0, 0.0, -1.0],      # zero x component while on x plane
+        [0.0, 1.0, 0.0],
+        [1.0, 0.0, 0.0],
+        [1.0, 0.0, 0.0],
+        [0.0, 0.0, -1.0],
+    ], np.float32)
+    hit, tminn, clipped, nrm = aabb_clip(jnp.asarray(origins),
+                                         jnp.asarray(directions), GRID)
+    # Rays sliding exactly along a face produce tmin=inf in the reference's
+    # fminf/fmaxf arithmetic (a miss); the vectorized path must agree with
+    # the oracle on hit/miss and tmin, with no NaNs poisoning either.
+    assert not np.isnan(np.asarray(tminn)).any()
+    for i in range(len(origins)):
+        ok, tmin = dda_ref.intersect_aabb(origins[i], directions[i],
+                                          GRID.world_max)
+        assert bool(np.asarray(hit)[i]) == ok, i
+        if ok:
+            np.testing.assert_allclose(float(np.asarray(tminn)[i]), tmin,
+                                       atol=1e-5, err_msg=str(i))
