@@ -44,31 +44,45 @@ def rays_toward(rng, n, target=(48, 48, 24), spread=40.0):
 
 
 def test_record_matches_hard_traversal(sparse_world, rng):
-    """Recorded first segment = the hard traversal's hit brick cell."""
+    """Recorded segments contain the hard hit's brick cell, front-to-back.
+
+    The recorder lists every NON-EMPTY brick the ray crosses (the compositor
+    integrates voxel occupancy inside each one); the hard traversal can pass
+    through a non-empty brick without striking a voxel, so the hit cell need
+    not be the FIRST segment — it must appear somewhere in the list (unless
+    the K budget truncated first), and nd must be non-decreasing.
+    """
     from brickmap_tpu.ops.traverse import trace_rays
 
     dense, sc, psc, *_ = sparse_world
     origins, dirs = rays_toward(rng, 96)
+    K = 8
     segs = record_segments(jnp.asarray(origins), jnp.asarray(dirs), psc,
-                           GRID, k_segments=8, interpret=True)
+                           GRID, k_segments=K, interpret=True)
     hard = trace_rays(jnp.asarray(origins), jnp.asarray(dirs),
                       jnp.asarray(sc.index_volume),
                       jnp.asarray(sc.pool_words), jnp.asarray(sc.pool_base),
                       jnp.zeros(3, jnp.int32), GRID, max_iters=512)
     count = np.asarray(segs["count"])
     cells = np.asarray(segs["cells"])
-    # Any hard hit must have >= 1 recorded segment, and the FIRST recorded
-    # cell equals the cell holding the hard hit point.
+    nd = np.asarray(segs["nd"])
     hit = np.asarray(hard["hit"])
     t = np.asarray(hard["t"])
     nrm = np.asarray(hard["normal"])
     for i in np.nonzero(hit)[0]:
         assert count[i] >= 1, i
-        p = origins[i] + dirs[i] * t[i] - nrm[i] * 1e-3
-        cell = np.floor(p / 8.0).astype(int)
-        packed = int(cells[i, 0])
-        got = (packed & 0x3FF, (packed >> 10) & 0x3FF, (packed >> 20) & 0x3FF)
-        assert got == tuple(cell), (i, got, tuple(cell))
+        c = int(count[i])
+        # Front-to-back ordering of entry distances.
+        assert (np.diff(nd[i, :c]) >= -1e-4).all(), (i, nd[i, :c])
+        # o + d*t in float32 at t~100 carries ~1e-2 of position noise, which
+        # can flip the cell across a brick face: accept the cell on either
+        # side of the hit face.
+        p = origins[i] + dirs[i] * t[i]
+        cands = {tuple(np.floor((p - nrm[i] * e) / 8.0).astype(int))
+                 for e in (1e-3, 5e-2, -5e-2)}
+        got = {(int(w) & 0x3FF, (int(w) >> 10) & 0x3FF,
+                (int(w) >> 20) & 0x3FF) for w in cells[i, :c]}
+        assert c == K or (got & cands), (i, sorted(got), sorted(cands))
 
 
 def test_sparse_matches_dense_compositor(sparse_world, rng):
