@@ -73,6 +73,30 @@ def _paged_for(tag: str, sc, cfg):
     return dev
 
 
+AUX = {}
+
+
+def _run_aux(name: str, timeout: float = 1800.0):
+    """Run one aux bench as ``python bench.py --aux <name>`` and parse the
+    final ``AUX_RESULT <float>`` line (None on any failure)."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--aux", name],
+            capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        sys.stderr.write(proc.stderr[-2000:])
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("AUX_RESULT "):
+                return float(line.split()[1])
+        print(f"aux bench {name} produced no result (rc={proc.returncode})",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"aux bench {name} failed: {e}", file=sys.stderr)
+    return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
@@ -83,7 +107,12 @@ def main() -> None:
     ap.add_argument("--xla-path", action="store_true",
                     help="benchmark the XLA lockstep traversal instead of "
                          "the Pallas kernel")
+    ap.add_argument("--aux", choices=sorted(AUX), help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.aux:
+        _aux_main(args.aux)
+        return
 
     import jax
 
@@ -138,21 +167,15 @@ def main() -> None:
     fwd = run_forward_benchmark(scene, cfg, waves_per_view=args.waves,
                                 scale=scale, verbose=True)
 
-    # fwd+bwd: differentiable render + gradient step at the same resolution.
+    # Aux benches run in SUBPROCESSES: a TPU worker crash (transient tunnel
+    # faults happen) then cannot poison this process or the other benches —
+    # each subprocess gets a fresh worker and the persistent compile cache.
+    pallas_mrays = _run_aux("brick")
     fwd_bwd_mrays = None
     sparse_bwd_mrays = None
-    try:
-        if not args.skip_bwd:
-            fwd_bwd_mrays = _bwd_bench(cfg)
-            sparse_bwd_mrays = _sparse_bwd_bench(cfg)
-    except Exception as e:  # never lose the headline JSON line
-        print(f"fwd+bwd bench failed: {e}", file=sys.stderr)
-
-    pallas_mrays = None
-    try:
-        pallas_mrays = _pallas_brick_bench()
-    except Exception as e:
-        print(f"pallas brick bench failed: {e}", file=sys.stderr)
+    if not args.skip_bwd:
+        fwd_bwd_mrays = _run_aux("bwd")
+        sparse_bwd_mrays = _run_aux("sparse-bwd")
 
     result = {
         "metric": "Mrays/s/chip fwd path tracing "
@@ -173,6 +196,25 @@ def main() -> None:
         "traversal": "xla" if args.xla_path else "pallas_paged",
     }
     print(json.dumps(result))
+
+
+def _aux_main(name: str) -> None:
+    """Subprocess entry for one aux bench: prints ``AUX_RESULT <float>``."""
+    import jax
+
+    try:
+        os.makedirs(os.path.join(CACHE, "xla"), exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(CACHE, "xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    from brickmap_tpu.config import BrickmapConfig, GridConfig, RenderConfig
+
+    cfg = BrickmapConfig(
+        grid=GridConfig(),
+        render=RenderConfig(width=1920, height=1080, max_bounces=3))
+    print(f"AUX_RESULT {AUX[name](cfg)}")
 
 
 def _bwd_bench(cfg):
@@ -286,6 +328,13 @@ def _pallas_brick_bench():
         int(np.asarray(r["hit"]).sum())
         best = min(best, time.perf_counter() - t0)
     return n / best / 1e6
+
+
+AUX.update({
+    "bwd": _bwd_bench,
+    "sparse-bwd": _sparse_bwd_bench,
+    "brick": lambda cfg: _pallas_brick_bench(),
+})
 
 
 if __name__ == "__main__":

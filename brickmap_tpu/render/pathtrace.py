@@ -111,13 +111,15 @@ def _compact_trace(o_all, d_all, live, scene, cam_brick, cfg: BrickmapConfig,
 
 
 def _pick_bucket(count: int, m: int) -> int | None:
-    """Smallest compaction bucket holding ``count`` live lanes (None = no
-    compaction; buckets are static so only a few executables ever compile)."""
-    for frac in (16, 4, 2):
+    """Smallest compaction bucket holding ``count`` live lanes (buckets are
+    static so only a few executables ever compile).  ``m`` itself is a valid
+    bucket: no lanes are dropped, but the coherence sort still applies —
+    measured faster than tracing a mostly-live incoherent wave unsorted."""
+    for frac in (16, 4, 2, 1):
         b = max(-(-m // frac) // 1024 * 1024, 4096)
-        if count <= b and b < m:
+        if count <= b and b <= m:
             return b
-    return None
+    return m
 
 
 @jax.jit
