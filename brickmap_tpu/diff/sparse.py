@@ -74,18 +74,31 @@ def composite_sparse(o_cells, direction, segs, cellmap, occupancy, albedo,
     """Alpha-composite recorded segments. Returns (rgb [N,3], trans [N]).
 
     Differentiable in (occupancy [P,512], albedo [P,512,3]).
+
+    The in-brick DDA path is *data-independent* (positions depend only on
+    geometry), so each segment's <=22 voxel indices are computed by pure
+    register arithmetic and fetched with ONE flat gather per field — no
+    [C,512(,3)] brick-row intermediates, and the backward pass is two
+    scatter-adds per segment instead of 22 gather adjoints.  The composite
+    itself is an exclusive cumprod over the concatenated per-voxel
+    opacities (the classic transmittance form of front-to-back alpha
+    blending; the fori-loop formulation it replaces is bit-equivalent).
     """
     eps = jnp.float32(grid.epsilon)
     bsz = grid.brick_size
+    nvox = 3 * bsz - 2
     cellmap_flat = cellmap.reshape(-1)
     cy, cx = cellmap.shape[1], cellmap.shape[2]
     n = o_cells.shape[0]
+    pvox = occupancy.shape[0] * occupancy.shape[1]
 
     def run_chunk(args):
         oc, dc, cells, nds, ncodes, enorm, bg = args
+        occ_flat = occupancy.reshape(-1)
+        alb_flat = albedo.reshape(-1, 3)
 
-        def seg_step(k, carry):
-            trans, rgb = carry
+        def seg_indices(k):
+            """[C, nvox] flat voxel ids + step-valid mask for segment k."""
             cell = cells[:, k]
             nd = nds[:, k]
             ncode = ncodes[:, k]
@@ -98,8 +111,6 @@ def composite_sparse(o_cells, direction, segs, cellmap, occupancy, albedo,
                                                    cellmap_flat.shape[0] - 1))
             valid = valid & (slot >= 0)
             slot = jnp.where(valid, slot, 0)
-            occ_row = jnp.take(occupancy, slot, axis=0)      # [C, 512]
-            alb_row = jnp.take(albedo, slot, axis=0)         # [C, 512, 3]
 
             # In-brick DDA from the nudged entry point (voxel.cuh:224).
             nrm = jnp.stack(
@@ -118,18 +129,12 @@ def composite_sparse(o_cells, direction, segs, cellmap, occupancy, albedo,
             tdelta = jnp.abs(rd)
             out = jnp.where(dc > 0, bsz, -1)
 
-            def vox_step(_, c):
-                p, tmax, act, trans, rgb = c
+            def walk(carry, _):
+                p, tmax, act = carry
                 inb = jnp.all((p >= 0) & (p < bsz), axis=1)
                 lin = jnp.clip(p[:, 0] + p[:, 1] * bsz + p[:, 2] * bsz * bsz,
                                0, bsz ** 3 - 1)
-                ov = jnp.clip(jnp.take_along_axis(
-                    occ_row, lin[:, None], 1)[:, 0], 0.0, 1.0)
-                av = jnp.take_along_axis(alb_row, lin[:, None, None], 1)[:, 0]
-                ov = jnp.where(act & inb, ov, 0.0)
-                w = trans * ov
-                rgb = rgb + w[:, None] * av
-                trans = trans * (1.0 - ov)
+                step_out = (lin, act & inb)
 
                 tx, ty, tz = tmax[:, 0], tmax[:, 1], tmax[:, 2]
                 ax = jnp.where(tx < ty, jnp.where(tx < tz, 0, 2),
@@ -141,18 +146,38 @@ def composite_sparse(o_cells, direction, segs, cellmap, occupancy, albedo,
                 p = jnp.where(act[:, None], pn, p)
                 tmax = tmax + jnp.where(onehot & act[:, None], tdelta, 0.0)
                 act = act & ~exited
-                return (p, tmax, act, trans, rgb)
+                return (p, tmax, act), step_out
 
-            init = (p, tmax, valid, trans, rgb)
-            _, _, _, trans, rgb = jax.lax.fori_loop(0, 3 * bsz - 2, vox_step,
-                                                    init)
-            return trans, rgb
+            _, (lin_s, mask_s) = jax.lax.scan(
+                walk, (p, tmax, valid), None, length=nvox)
+            lin_a = lin_s.T                                  # [C, nvox]
+            mask_a = mask_s.T
+            gidx = jnp.clip(slot[:, None] * (bsz ** 3) + lin_a, 0, pvox - 1)
+            return gidx, mask_a
 
-        trans = jnp.ones((oc.shape[0],), jnp.float32)
-        rgb = jnp.zeros((oc.shape[0], 3), jnp.float32)
-        for k in range(k_segments):
-            trans, rgb = jax.checkpoint(
-                lambda tr, rg, kk=k: seg_step(kk, (tr, rg)))(trans, rgb)
+        parts = [seg_indices(k) for k in range(k_segments)]
+        gidx = jnp.concatenate([g for g, _ in parts], axis=1)  # [C, K*nvox]
+        mask = jnp.concatenate([m for _, m in parts], axis=1)
+
+        occ_v = jnp.take(occ_flat, gidx)                       # [C, K*nvox]
+        occ_v = jnp.where(mask, jnp.clip(occ_v, 0.0, 1.0), 0.0)
+        alb_v = jnp.take(alb_flat, gidx, axis=0)               # [C, K*nvox, 3]
+
+        # Front-to-back compositing: w_i = occ_i * prod_{j<i}(1-occ_j),
+        # scanned along the path (exact gradients even at occ == 1, where a
+        # cumprod/division formulation would NaN).
+        def comp(carry, xs):
+            trans, rgb = carry
+            ov, av = xs
+            rgb = rgb + (trans * ov)[:, None] * av
+            trans = trans * (1.0 - ov)
+            return (trans, rgb), None
+
+        (trans, rgb), _ = jax.lax.scan(
+            comp,
+            (jnp.ones((occ_v.shape[0],), jnp.float32),
+             jnp.zeros((occ_v.shape[0], 3), jnp.float32)),
+            (occ_v.T, alb_v.transpose(1, 0, 2)))
         rgb = rgb + trans[:, None] * bg
         return rgb, trans
 
@@ -172,32 +197,123 @@ def composite_sparse(o_cells, direction, segs, cellmap, occupancy, albedo,
              padded(segs["ncode"], -1), padded(segs["entry_normal"]),
              padded(background))
     c = parts[0].shape[0] // rays_per_chunk
+    # Remat per chunk: the scan otherwise stacks [C, K*nvox(,3)] residuals.
     rgb, trans = jax.lax.map(
-        run_chunk, tuple(a.reshape(c, rays_per_chunk, *a.shape[1:])
-                         for a in parts))
+        jax.checkpoint(run_chunk),
+        tuple(a.reshape(c, rays_per_chunk, *a.shape[1:]) for a in parts))
     return rgb.reshape(-1, 3)[:n], trans.reshape(-1)[:n]
+
+
+@partial(jax.jit, donate_argnums=(7, 8, 9),
+         static_argnames=("grid", "k_segments"))
+def _chunk_grad_acc(o_cells, direction, cells, nd, ncode, enorm, cellmap,
+                    sse_acc, docc_acc, dalb_acc, occupancy, albedo,
+                    background, target, grid: GridConfig, k_segments: int):
+    """One chunk's sum-of-squared-error gradients added into donated
+    accumulators (single device program, no inner scan: the whole-frame
+    backward OOMs, see l2_loss_and_grads_sparse)."""
+    segs = {"cells": cells, "nd": nd, "ncode": ncode, "entry_normal": enorm}
+
+    def sse_fn(occ, alb):
+        rgb, _ = composite_sparse(
+            o_cells, direction, segs, cellmap, occ, alb, background,
+            grid, k_segments=k_segments, rays_per_chunk=o_cells.shape[0])
+        return jnp.sum((rgb - target) ** 2)
+
+    sse, (docc, dalb) = jax.value_and_grad(sse_fn, argnums=(0, 1))(
+        occupancy, albedo)
+    return sse_acc + sse, docc_acc + docc, dalb_acc + dalb
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("denom",))
+def _finalize(sse, docc, dalb, denom: int):
+    inv = jnp.float32(1.0 / denom)
+    return sse * inv, (docc * inv, dalb * inv)
 
 
 def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
                              albedo, background, target, grid: GridConfig,
                              k_segments: int = 16,
                              rays_per_chunk: int = 32768,
+                             host_chunk: int = 65536,
                              interpret: bool = False):
     """L2 image loss + gradients w.r.t. the sparse pool fields.
 
     The record phase runs the Pallas kernel once (non-differentiable); the
     loss/grad phase replays the bounded-K segments.
+
+    With concrete (non-traced) inputs larger than ``host_chunk`` rays, the
+    gradient is accumulated over host-dispatched chunk programs with donated
+    accumulators: a single whole-frame backward program exhausts HBM at 1080p
+    (measured RESOURCE_EXHAUSTED — the scan over chunks carries the full
+    [P,512]+[P,512,3] adjoints plus residuals), and bounded programs also
+    keep per-call device time within the remote tunnel's tolerance.  Traced
+    inputs (e.g. inside ``shard_map``, where shards are small) keep the
+    single-program path.
     """
+    n = origin.shape[0]
+    # Page-coherence sort (loss and grads are order-invariant, so no unsort):
+    # tiles of rays sharing (superchunk page, direction octant) keep the
+    # record kernel's page votes unanimous — measured 10-20x on incoherent
+    # ray sets (notes/PERF.md), same key as the path tracer's compact sort.
+    s16 = float(grid.brick_size * grid.supergrid_cell_size)
+    q = jnp.clip((origin / s16).astype(jnp.int32), 0,
+                 max(grid.supergrid_xy, grid.supergrid_z) - 1)
+    page = (q[:, 0] + q[:, 1] * grid.supergrid_xy
+            + q[:, 2] * grid.supergrid_xy ** 2)
+    octant = ((direction[:, 0] > 0).astype(jnp.int32)
+              + 2 * (direction[:, 1] > 0).astype(jnp.int32)
+              + 4 * (direction[:, 2] > 0).astype(jnp.int32))
+    order = jnp.argsort(page * 8 + octant)
+    origin = jnp.take(origin, order, axis=0)
+    direction = jnp.take(direction, order, axis=0)
+    background = jnp.take(background, order, axis=0)
+    target = jnp.take(target, order, axis=0)
+
     segs = record_segments(origin, direction, pscene, grid,
                            k_segments=k_segments, interpret=interpret)
 
-    @partial(jax.jit, static_argnames=())
-    def loss_fn(occ, alb):
-        rgb, _ = composite_sparse(
-            segs["o_cells"], direction, segs, cellmap, occ, alb, background,
-            grid, k_segments=k_segments, rays_per_chunk=rays_per_chunk)
-        return jnp.mean((rgb - target) ** 2)
+    traced = isinstance(origin, jax.core.Tracer)
+    if traced or n <= host_chunk:
+        @partial(jax.jit, static_argnames=())
+        def loss_fn(occ, alb):
+            rgb, _ = composite_sparse(
+                segs["o_cells"], direction, segs, cellmap, occ, alb,
+                background, grid, k_segments=k_segments,
+                rays_per_chunk=rays_per_chunk)
+            return jnp.mean((rgb - target) ** 2)
 
-    loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-        occupancy, albedo)
-    return loss, grads
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            occupancy, albedo)
+        return loss, grads
+
+    # Host-chunked accumulation.  Padded rays record no segments and carry
+    # zero background/target, so they contribute exactly zero SSE and grads.
+    pad = (-n) % host_chunk
+
+    def padded(a, fill):
+        if not pad:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full((pad, *a.shape[1:]), fill, a.dtype)])
+
+    o_cells = padded(segs["o_cells"], 0.0)
+    dirs_p = padded(direction, 1.0)
+    cells_p = padded(segs["cells"], -1)
+    nd_p = padded(segs["nd"], 0.0)
+    ncode_p = padded(segs["ncode"], -1)
+    enorm_p = padded(segs["entry_normal"], 0.0)
+    bg_p = padded(background, 0.0)
+    tgt_p = padded(target, 0.0)
+    del segs  # free the unpadded copies' device buffers
+
+    sse_acc = jnp.zeros((), jnp.float32)
+    docc_acc = jnp.zeros_like(occupancy)
+    dalb_acc = jnp.zeros_like(albedo)
+    for start in range(0, n + pad, host_chunk):
+        sl = slice(start, start + host_chunk)
+        sse_acc, docc_acc, dalb_acc = _chunk_grad_acc(
+            o_cells[sl], dirs_p[sl], cells_p[sl], nd_p[sl], ncode_p[sl],
+            enorm_p[sl], cellmap, sse_acc, docc_acc, dalb_acc,
+            occupancy, albedo, bg_p[sl], tgt_p[sl], grid, k_segments)
+    return _finalize(sse_acc, docc_acc, dalb_acc, denom=n * 3)
