@@ -7,12 +7,12 @@ the page-major scene layout of :mod:`brickmap_tpu.pallas.paged`.
 
 TPU mapping (costs measured on v5e, notes/PERF.md round 2):
 
-* **Page voting**: lanes in a tile vote (min-reduce) for the superchunk page
-  to process; the page's occupancy/loaded bit-rows + LoD bytes (one 8 KB DMA)
-  and its byte cell-pool (1 MB DMA) stream HBM->VMEM, overlapped with the
-  empty-page transit phase.  This replaces the reference's CPU->GPU brick
-  streaming with HBM->VMEM paging — residency is address translation, not
-  transport.
+* **Page voting**: lanes in a tile vote (min-reduce) for the NP smallest
+  distinct superchunk pages to process this round; each page's
+  occupancy/loaded bit-rows + LoD bytes (8 KB DMA) and byte cell-pool
+  (512 KB DMA) stream HBM->VMEM, overlapped with the empty-page transit
+  phase.  This replaces the reference's CPU->GPU brick streaming with
+  HBM->VMEM paging — residency is address translation, not transport.
 * **Cell marching**: one occupancy-bit test per step via a broadcast row +
   lane-gather (~0.1 us per 1024-ray step); same Amanatides-Woo arithmetic as
   :func:`brickmap_tpu.ops.traverse.trace_rays` (oracle-parity).  The march
@@ -20,11 +20,12 @@ TPU mapping (costs measured on v5e, notes/PERF.md round 2):
 * **Empty-page transit**: once per round (not per step), lanes whose page is
   empty jump across the page-level Chebyshev safe box with the exact ESS
   jump arithmetic of the XLA path.
-* **Descends**: batched per phase; the LoD byte comes from a 1024-entry
-  register gather (~0.1 us/tile), brick payloads from a one-hot MXU matmul
-  against the page's [64, 4096] byte pool (bytes are exact in bf16 — the
-  MXU's default f32 path truncates operands to bf16, so wider integers would
-  round).
+* **Descends**: batched per phase and served for EVERY voted page (page
+  divergence in bounce/shadow tiles otherwise serializes rounds); the LoD
+  byte comes from a 1024-entry register gather (~0.1 us/tile), brick
+  payloads from per-page one-hot MXU matmuls against the voted [64, 4096]
+  byte pools (bytes are exact in bf16 — the MXU's default f32 path truncates
+  operands to bf16, so wider integers would round).
 * **Divergence**: lanes stall while their page is not voted; coherent tiles
   (square pixel blocks) keep stalls low.  Rays exhausting the page-round
   budget report ``exhausted`` instead of silently missing.
@@ -90,20 +91,28 @@ def _sel_axis(tx, ty, tz):
                      jnp.where(ty < tz, 1, 2)).astype(jnp.int32)
 
 
-def _fetch_bricks(poolT, slot):
-    """One-hot MXU fetch: 16 uint32 brick words per lane from the page pool.
+def _fetch_bricks_multi(poolT_s, slot, pslot, num_pages: int):
+    """Multi-page one-hot MXU fetch: 16 uint32 brick words per lane.
 
-    poolT: (64, 4096) bf16 — byte b of word k in row 4k+b (bytes are exact
-    in bf16; bf16 x bf16 -> f32 is the MXU's native mode).
-    slot: (8, 128) i32 in-page cell index.  Returns 16 (8,128) int32 words.
+    poolT_s: (NP, 64, 4096) bf16 scratch holding the round's voted pages —
+    byte b of word k in row 4k+b (bytes are exact in bf16; bf16 x bf16 ->
+    f32 is the MXU's native mode).
+    slot: (8, 128) i32 in-page cell index; pslot: (8, 128) i32 voted-page
+    slot per lane (one-hot columns are masked per page and the partial
+    products accumulated — NP x the single-page matmul cost, ~5 us each).
     """
     cell_iota = jax.lax.broadcasted_iota(jnp.int32, (4096, 128), 0)
     chunks = []
     for s in range(8):
         srow = jax.lax.broadcast_in_dim(slot[s], (4096, 128), (1,))
-        ohT = (srow == cell_iota).astype(jnp.bfloat16)
-        chunks.append(jnp.dot(poolT, ohT,
-                              preferred_element_type=jnp.float32))
+        prow = jax.lax.broadcast_in_dim(pslot[s], (4096, 128), (1,))
+        acc = None
+        for pg in range(num_pages):
+            ohT = ((srow == cell_iota) & (prow == pg)).astype(jnp.bfloat16)
+            d = jnp.dot(poolT_s[pg], ohT,
+                        preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        chunks.append(acc)
     words = []
     for k in range(16):
         by = [jnp.concatenate([c[4 * k + b:4 * k + b + 1] for c in chunks],
@@ -300,7 +309,7 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                             | (st["wanty"] + st["wantb"] > 0))
             # Vote the NP smallest distinct needed pages: incoherent (bounce)
             # tiles spread over many pages take NP pages per round instead of
-            # one.  page 0 also serves descends (its pool row is DMA'd).
+            # one, and descends are served for every voted page.
             page_ids = []
             prev = jnp.int32(-1)
             for _ in range(NP):
@@ -318,18 +327,19 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
 
             # Page DMAs start now and retire exactly once per round (a second
             # wait on a DMA semaphore faults the core); the transit phase
-            # below overlaps the copies.
+            # below overlaps the copies.  Pool pages stream for EVERY voted
+            # page so descends never serialize on one page per round.
             copies = []
             for k in range(NP):
+                pid = jnp.clip(page_ids[k], 0, meta_hbm.shape[0] - 1)
                 cp = pltpu.make_async_copy(
-                    meta_hbm.at[jnp.clip(page_ids[k], 0,
-                                         meta_hbm.shape[0] - 1)],
-                    meta_s.at[k], sem_meta.at[k])
+                    meta_hbm.at[pid], meta_s.at[k], sem_meta.at[k])
                 cp.start()
                 copies.append(cp)
-            cp_pool = pltpu.make_async_copy(poolT_hbm.at[page0], poolT_s,
-                                            sem_pool)
-            cp_pool.start()
+                cpp = pltpu.make_async_copy(
+                    poolT_hbm.at[pid], poolT_s.at[k], sem_pool.at[k])
+                cpp.start()
+                copies.append(cpp)
 
             # ---- transit: lanes in empty pages jump the Chebyshev safe box
             # (page-granular ESS; same k arithmetic as ops.traverse).
@@ -402,7 +412,6 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
 
             for cp in copies:
                 cp.wait()
-            cp_pool.wait()
             # One page's occupancy bits are exactly one 128-word row, so the
             # NP voted pages stack into a single (8,128) register and the
             # per-step test stays ONE arb-gather regardless of NP.
@@ -521,15 +530,21 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 _, _, st = jax.lax.while_loop(
                     march_cond, march, (jnp.int32(0), jnp.int32(1), st))
 
-                # ---- byte descends (2x2x2 over the LoD byte; page 0) -------
+                # ---- byte descends (2x2x2 over the LoD byte; any voted page)
                 sc_now = page_of(st["px"], st["py"], st["pz"])
+                pslot_now = page_slot_of(sc_now)
                 yb = (st["alive"] != 0) & (st["wanty"] != 0) \
-                    & (sc_now == page0)
+                    & (pslot_now >= 0)
 
                 def do_byte(st):
                     lin = (((st["pz"] & 15) * s + (st["py"] & 15)) * s
                            + (st["px"] & 15))
                     lodw = _arb1024(lod_tab, (lin >> 2) & 1023)
+                    for k in range(1, NP):
+                        lodw = jnp.where(
+                            pslot_now == k,
+                            _arb1024(meta_s[k, 2:10], (lin >> 2) & 1023),
+                            lodw)
                     byte = (lodw >> ((lin & 3) * 8)) & 0xFF
 
                     def occ_fn(bx, by, bz):
@@ -554,16 +569,18 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 st = jax.lax.cond(jnp.max(yb.astype(i32)) > 0, do_byte,
                                   lambda st: st, st)
 
-                # ---- brick descends (8x8x8 over pool payload; page 0) ------
+                # ---- brick descends (8x8x8 over pool; any voted page) ------
                 sc_now = page_of(st["px"], st["py"], st["pz"])
+                pslot_b = page_slot_of(sc_now)
                 bb = (st["alive"] != 0) & (st["wantb"] != 0) \
-                    & (sc_now == page0)
+                    & (pslot_b >= 0)
 
                 def do_brick(st):
                     lin = (((st["pz"] & 15) * s + (st["py"] & 15)) * s
                            + (st["px"] & 15))
                     slot = jnp.where(bb, lin, 0)
-                    words = _fetch_bricks(poolT_s[:], slot)
+                    words = _fetch_bricks_multi(
+                        poolT_s, slot, jnp.where(bb, pslot_b, 0), NP)
 
                     def occ_fn(bx, by, bz):
                         l = jnp.clip(bx + by * bsz + bz * bsz * bsz, 0,
@@ -645,10 +662,14 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
         out_shape=out_sd,
         scratch_shapes=[
             pltpu.VMEM((pages_per_round, 16, 128), jnp.int32),  # meta pages
-            pltpu.VMEM((64, 4096), jnp.bfloat16),    # poolT page
+            pltpu.VMEM((pages_per_round, 64, 4096), jnp.bfloat16),  # pools
             pltpu.SemaphoreType.DMA((pages_per_round,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((pages_per_round,)),
         ],
+        # NP pool pages (0.5 MB each) + one-hot staging exceed the 16 MB
+        # default scoped-VMEM budget; v5e has 128 MiB of VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(cam, scd, meta, poolT, *comps)
 
