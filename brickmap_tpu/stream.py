@@ -38,19 +38,23 @@ from .config import GridConfig
 __all__ = ["StreamingScene"]
 
 
+_scatter_rows_jit = None
+
+
 def _scatter_rows(arr, idx, rows):
     """Jitted device scatter: arr[idx] = rows (fixed shapes, compiled once).
 
     Padded entries repeat a real index with its current row value, making the
-    scatter idempotent without shape-varying programs.
+    scatter idempotent without shape-varying programs.  The jitted callee is
+    module-global: a per-call local ``@jax.jit`` would re-trace every call
+    (~450 ms each through the tunnel, notes/PERF.md).
     """
-    import jax
+    global _scatter_rows_jit
+    if _scatter_rows_jit is None:
+        import jax
 
-    @jax.jit
-    def go(arr, idx, rows):
-        return arr.at[idx].set(rows)
-
-    return go(arr, idx, rows)
+        _scatter_rows_jit = jax.jit(lambda a, i, r: a.at[i].set(r))
+    return _scatter_rows_jit(arr, idx, rows)
 
 
 class StreamingScene:
