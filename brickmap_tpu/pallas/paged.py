@@ -14,7 +14,10 @@ equivalent keeps everything HBM-resident and reorganizes the scene around the
   - row 1: `loaded` flag bit-plane (streaming residency);
   - rows 2-9: per-cell 2x2x2 LoD byte (index-word bits 19:12,
     variables.h:30), 4 packed per word;
-  - rows 10-15: reserved (tile alignment).
+  - rows 10-13: per-cell Chebyshev empty-space-skip distance, 4-bit
+    nibbles 8-per-word (0 = occupied/test-the-bit, d>=1 = all cells within
+    L-inf (d-1) are empty) — in-page ESS for the march;
+  - rows 14-15: reserved (tile alignment).
 
 * ``poolT``  bfloat16 [S, 64, 4096] — per-CELL brick payloads, transposed:
   rows 4k..4k+3 hold the four bytes (LSB first) of occupancy word k for every
@@ -46,6 +49,8 @@ from typing import Any
 import numpy as np
 
 from ..config import (
+    BRICK_DIST_MASK,
+    BRICK_DIST_SHIFT,
     BRICK_FLAG_BITS,
     BRICK_INDEX_BITS,
     BRICK_LOADED_BIT,
@@ -135,6 +140,19 @@ def build_paged_scene(scene, grid: GridConfig) -> PagedScene:
         lodrows, (scf, linf >> 2),
         lodb.astype(np.uint32) << ((linf & 3) * 8).astype(np.uint32))
     meta[:, 2:10, :] = lodrows.reshape(S, 8, 128)
+
+    # Rows 10-13: per-cell Chebyshev empty-space-skip distance as 4-bit
+    # nibbles, 8 per word — the XLA path's index-word ESS (bits 28:20)
+    # brought into the page so the in-page march jumps empty runs instead
+    # of stepping cell-by-cell.  0 = occupied (or unknown: test the bit),
+    # d>=1 = every cell within L-inf (d-1) is empty; clamped to 15.
+    dist = ((iv & np.uint32(BRICK_DIST_MASK))
+            >> np.uint32(BRICK_DIST_SHIFT)).astype(np.int64).ravel()
+    dist = np.where(occ, 0, np.minimum(dist, 15)).astype(np.uint32)
+    distrows = np.zeros((S, pc // 8), np.uint32)
+    np.bitwise_or.at(distrows, (scf, linf >> 3),
+                     dist << ((linf & 7) * 4).astype(np.uint32))
+    meta[:, 10:14, :] = distrows.reshape(S, 4, 128)
 
     # Cell-indexed transposed brick payloads as bytes in bf16 (exact).
     import ml_dtypes

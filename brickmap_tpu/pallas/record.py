@@ -30,6 +30,7 @@ from .traverse3 import (
     DEAD_SC,
     LANES,
     NEG,
+    _arb1024,
     _bcast_row,
     _gather_scdist,
     _sel_axis,
@@ -198,6 +199,10 @@ def _make_kernel(grid: GridConfig, *, k_segments: int, max_page_rounds: int,
 
             cp_meta.wait()
             occ_row = _bcast_row(meta_s[0])
+            # Cell-ESS nibbles (paged.py rows 10-13): d>=2 lets empty-cell
+            # steps jump the L-inf (d-1) box instead of one cell.
+            dist_tab = jnp.concatenate(
+                [meta_s[10:14], jnp.zeros((4, 128), i32)], axis=0)
 
             def march_cond(c):
                 it, cont, st = c
@@ -239,9 +244,35 @@ def _make_kernel(grid: GridConfig, *, k_segments: int, max_page_rounds: int,
                 # Step every marching lane (recording does not stop the ray).
                 stepping = marching & (count < K)
                 ax = _sel_axis(tx, ty, tz)
-                kx = jnp.where(ax == 0, 1, 0)
-                ky = jnp.where(ax == 1, 1, 0)
-                kz = jnp.where(ax == 2, 1, 0)
+                kx1 = jnp.where(ax == 0, 1, 0)
+                ky1 = jnp.where(ax == 1, 1, 0)
+                kz1 = jnp.where(ax == 2, 1, 0)
+
+                dsel = _arb1024(dist_tab, (lin >> 3) & 511)
+                dnib = (dsel >> ((lin & 7) * 4)) & 15
+                use_jump = stepping & (dnib >= 2)
+                dm1 = dnib - 1
+                rf = dm1.astype(f32)
+                t_exit = jnp.minimum(
+                    jnp.minimum(jnp.where(dx != 0, tx + rf * tdx, BIG),
+                                jnp.where(dy != 0, ty + rf * tdy, BIG)),
+                    jnp.where(dz != 0, tz + rf * tdz, BIG))
+
+                def k_axis(d, t, td):
+                    k = jnp.where(
+                        d != 0.0,
+                        jnp.floor((t_exit - t)
+                                  / jnp.where(td == 0, 1.0, td))
+                        .astype(i32) + 1, 0)
+                    return jnp.clip(k, 0, dm1 + 1)
+
+                kx = jnp.where(use_jump, k_axis(dx, tx, tdx), kx1)
+                ky = jnp.where(use_jump, k_axis(dy, ty, tdy), ky1)
+                kz = jnp.where(use_jump, k_axis(dz, tz, tdz), kz1)
+                stuck = use_jump & (kx + ky + kz == 0)
+                kx = jnp.where(stuck, kx1, kx)
+                ky = jnp.where(stuck, ky1, ky)
+                kz = jnp.where(stuck, kz1, kz)
                 pxn, pyn, pzn, txn, tyn, tzn, t_axis, exited = step_arrays(
                     px, py, pz, tx, ty, tz, kx, ky, kz)
                 done = (stepping & exited) | (marching & (count >= K))

@@ -422,6 +422,14 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 [meta_s[k, 1:2, :] for k in range(NP)] + pad_rows, axis=0) \
                 if streaming else occ_tab
             lod_tab = meta_s[0, 2:10]
+            # Cell-ESS nibble rows (paged.py rows 10-13), 2 pages per
+            # (8,128) register: lane lookup = (pslot & 1)*512 + word index.
+            dist_regs = []
+            for j in range(0, NP, 2):
+                rows = [meta_s[j, 10:14]]
+                rows.append(meta_s[j + 1, 10:14] if j + 1 < NP
+                            else jnp.zeros((4, 128), i32))
+                dist_regs.append(jnp.concatenate(rows, axis=0))
 
             def page_slot_of(sc):
                 slot = jnp.full((8, 128), -1, i32)
@@ -451,6 +459,16 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                     occ_bit = ((w >> (lin & 31)) & 1) != 0
                     testing = marching & in_voted & (st["skip"] == 0)
                     occ0 = testing & occ_bit
+
+                    # Cell-ESS: nibble d >= 1 means this cell and every cell
+                    # within L-inf (d-1) are empty — jump the whole box.
+                    didx = jnp.clip((jnp.maximum(pslot, 0) & 1) * 512
+                                    + ((lin >> 3) & 511), 0, 1023)
+                    dsel = _arb1024(dist_regs[0], didx)
+                    for j in range(1, len(dist_regs)):
+                        dsel = jnp.where((pslot >> 1) == j,
+                                         _arb1024(dist_regs[j], didx), dsel)
+                    dnib = (dsel >> ((lin & 7) * 4)) & 15
 
                     entered = axis0 >= 0
                     t_ax = _sel3(axis0, tx, ty, tz)
@@ -491,15 +509,39 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                                        st["nd"])
                     alive2 = alive & ~coarse
 
-                    # ---- single-cell step (empty cell or sub-miss resume) --
+                    # ---- step: ESS box jump when d>=2, else one cell ------
                     stepping = (testing & ~occ0) \
                         | (marching & in_voted & (st["skip"] != 0))
                     stepping = stepping & alive2
 
                     ax = _sel_axis(tx, ty, tz)
-                    kx = jnp.where(ax == 0, 1, 0)
-                    ky = jnp.where(ax == 1, 1, 0)
-                    kz = jnp.where(ax == 2, 1, 0)
+                    kx1 = jnp.where(ax == 0, 1, 0)
+                    ky1 = jnp.where(ax == 1, 1, 0)
+                    kz1 = jnp.where(ax == 2, 1, 0)
+
+                    use_jump = stepping & (dnib >= 2)
+                    dm1 = dnib - 1
+                    rf = dm1.astype(f32)
+                    t_exit = jnp.minimum(
+                        jnp.minimum(jnp.where(dx != 0, tx + rf * tdx, BIG),
+                                    jnp.where(dy != 0, ty + rf * tdy, BIG)),
+                        jnp.where(dz != 0, tz + rf * tdz, BIG))
+
+                    def k_axis(d, t, td):
+                        k = jnp.where(
+                            d != 0.0,
+                            jnp.floor((t_exit - t)
+                                      / jnp.where(td == 0, 1.0, td))
+                            .astype(i32) + 1, 0)
+                        return jnp.clip(k, 0, dm1 + 1)
+
+                    kx = jnp.where(use_jump, k_axis(dx, tx, tdx), kx1)
+                    ky = jnp.where(use_jump, k_axis(dy, ty, tdy), ky1)
+                    kz = jnp.where(use_jump, k_axis(dz, tz, tdz), kz1)
+                    stuck = use_jump & (kx + ky + kz == 0)
+                    kx = jnp.where(stuck, kx1, kx)
+                    ky = jnp.where(stuck, ky1, ky)
+                    kz = jnp.where(stuck, kz1, kz)
                     pxn, pyn, pzn, txn, tyn, tzn, t_axis, exited = \
                         step_arrays(px, py, pz, tx, ty, tz, kx, ky, kz)
                     miss = stepping & exited
