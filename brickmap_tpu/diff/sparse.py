@@ -67,6 +67,105 @@ def pool_fields_from_bitmask(scene) -> tuple[np.ndarray, np.ndarray]:
     return occ, alb
 
 
+def _segment_gidx(oc, dc, cells, nds, ncodes, enorm, cellmap,
+                  grid: GridConfig, k_segments: int, pvox: int):
+    """Flat voxel ids [C, K*nvox] + step-valid mask for all segments.
+
+    Pure geometry — the in-brick DDA path is *data-independent* (positions
+    depend only on ray geometry), so every visited voxel's index is computed
+    by register arithmetic, no occupancy reads.
+    """
+    eps = jnp.float32(grid.epsilon)
+    bsz = grid.brick_size
+    nvox = 3 * bsz - 2
+    cellmap_flat = cellmap.reshape(-1)
+    cy, cx = cellmap.shape[1], cellmap.shape[2]
+
+    def seg_indices(k):
+        cell = cells[:, k]
+        nd = nds[:, k]
+        ncode = ncodes[:, k]
+        valid = cell >= 0
+        cxp = cell & 0x3FF
+        cyp = (cell >> 10) & 0x3FF
+        czp = (cell >> 20) & 0x3FF
+        flat = (czp * cy + cyp) * cx + cxp
+        slot = jnp.take(cellmap_flat, jnp.clip(flat, 0,
+                                               cellmap_flat.shape[0] - 1))
+        valid = valid & (slot >= 0)
+        slot = jnp.where(valid, slot, 0)
+
+        # In-brick DDA from the nudged entry point (voxel.cuh:224).
+        nrm = jnp.stack(
+            [jnp.where(ncode == a, -jnp.sign(dc[:, a]), 0.0)
+             for a in range(3)], 1)
+        nrm = jnp.where((ncode >= 0)[:, None], nrm, enorm)
+        so = (oc + dc * nd[:, None]) * bsz - nrm * eps
+        pg = jnp.trunc(so).astype(jnp.int32)
+        stepv = jnp.sign(dc).astype(jnp.int32)
+        rd = jnp.where(dc == 0.0, 0.0, 1.0 / dc)
+        # Crossing times in the global frame of `so`; only the position is
+        # reduced to brick-local coordinates (C trunc-mod, voxel.cuh:93).
+        cb = jnp.where(dc > 0, pg + 1.0, pg.astype(jnp.float32))
+        tmax = jnp.where(dc != 0.0, (cb - so) * rd, 1e6)
+        p = jnp.where(pg >= 0, pg % bsz, -((-pg) % bsz))
+        tdelta = jnp.abs(rd)
+        out = jnp.where(dc > 0, bsz, -1)
+
+        def walk(carry, _):
+            p, tmax, act = carry
+            inb = jnp.all((p >= 0) & (p < bsz), axis=1)
+            lin = jnp.clip(p[:, 0] + p[:, 1] * bsz + p[:, 2] * bsz * bsz,
+                           0, bsz ** 3 - 1)
+            step_out = (lin, act & inb)
+
+            tx, ty, tz = tmax[:, 0], tmax[:, 1], tmax[:, 2]
+            ax = jnp.where(tx < ty, jnp.where(tx < tz, 0, 2),
+                           jnp.where(ty < tz, 1, 2))
+            onehot = (jnp.arange(3)[None, :] == ax[:, None])
+            pn = p + jnp.where(onehot, stepv, 0)
+            exited = jnp.take_along_axis(pn, ax[:, None], 1)[:, 0] \
+                == jnp.take_along_axis(out, ax[:, None], 1)[:, 0]
+            p = jnp.where(act[:, None], pn, p)
+            tmax = tmax + jnp.where(onehot & act[:, None], tdelta, 0.0)
+            act = act & ~exited
+            return (p, tmax, act), step_out
+
+        _, (lin_s, mask_s) = jax.lax.scan(
+            walk, (p, tmax, valid), None, length=nvox)
+        gidx = jnp.clip(slot[:, None] * (bsz ** 3) + lin_s.T, 0, pvox - 1)
+        return gidx, mask_s.T
+
+    parts = [seg_indices(k) for k in range(k_segments)]
+    gidx = jnp.concatenate([g for g, _ in parts], axis=1)  # [C, K*nvox]
+    mask = jnp.concatenate([m for _, m in parts], axis=1)
+    return gidx, mask
+
+
+def _composite_raw(occ_raw, alb_v, mask, bg):
+    """Front-to-back compositing of raw gathered voxel values.
+
+    w_i = occ_i * prod_{j<i}(1-occ_j), scanned along the path (exact
+    gradients even at occ == 1, where a cumprod/division formulation
+    would NaN).  Returns (rgb [C,3], trans [C]).
+    """
+    occ_v = jnp.where(mask, jnp.clip(occ_raw, 0.0, 1.0), 0.0)
+
+    def comp(carry, xs):
+        trans, rgb = carry
+        ov, av = xs
+        rgb = rgb + (trans * ov)[:, None] * av
+        trans = trans * (1.0 - ov)
+        return (trans, rgb), None
+
+    (trans, rgb), _ = jax.lax.scan(
+        comp,
+        (jnp.ones((occ_v.shape[0],), jnp.float32),
+         jnp.zeros((occ_v.shape[0], 3), jnp.float32)),
+        (occ_v.T, alb_v.transpose(1, 0, 2)))
+    return rgb + trans[:, None] * bg, trans
+
+
 @partial(jax.jit, static_argnames=("grid", "k_segments", "rays_per_chunk"))
 def composite_sparse(o_cells, direction, segs, cellmap, occupancy, albedo,
                      background, grid: GridConfig, k_segments: int = 16,
@@ -75,111 +174,21 @@ def composite_sparse(o_cells, direction, segs, cellmap, occupancy, albedo,
 
     Differentiable in (occupancy [P,512], albedo [P,512,3]).
 
-    The in-brick DDA path is *data-independent* (positions depend only on
-    geometry), so each segment's <=22 voxel indices are computed by pure
-    register arithmetic and fetched with ONE flat gather per field — no
-    [C,512(,3)] brick-row intermediates, and the backward pass is two
-    scatter-adds per segment instead of 22 gather adjoints.  The composite
-    itself is an exclusive cumprod over the concatenated per-voxel
-    opacities (the classic transmittance form of front-to-back alpha
-    blending; the fori-loop formulation it replaces is bit-equivalent).
+    Each segment's <=22 voxel indices come from :func:`_segment_gidx` and
+    are fetched with ONE flat gather per field — no [C,512(,3)] brick-row
+    intermediates, and the backward pass is two scatter-adds per segment
+    instead of 22 gather adjoints.
     """
-    eps = jnp.float32(grid.epsilon)
-    bsz = grid.brick_size
-    nvox = 3 * bsz - 2
-    cellmap_flat = cellmap.reshape(-1)
-    cy, cx = cellmap.shape[1], cellmap.shape[2]
     n = o_cells.shape[0]
     pvox = occupancy.shape[0] * occupancy.shape[1]
 
     def run_chunk(args):
         oc, dc, cells, nds, ncodes, enorm, bg = args
-        occ_flat = occupancy.reshape(-1)
-        alb_flat = albedo.reshape(-1, 3)
-
-        def seg_indices(k):
-            """[C, nvox] flat voxel ids + step-valid mask for segment k."""
-            cell = cells[:, k]
-            nd = nds[:, k]
-            ncode = ncodes[:, k]
-            valid = cell >= 0
-            cxp = cell & 0x3FF
-            cyp = (cell >> 10) & 0x3FF
-            czp = (cell >> 20) & 0x3FF
-            flat = (czp * cy + cyp) * cx + cxp
-            slot = jnp.take(cellmap_flat, jnp.clip(flat, 0,
-                                                   cellmap_flat.shape[0] - 1))
-            valid = valid & (slot >= 0)
-            slot = jnp.where(valid, slot, 0)
-
-            # In-brick DDA from the nudged entry point (voxel.cuh:224).
-            nrm = jnp.stack(
-                [jnp.where(ncode == a, -jnp.sign(dc[:, a]), 0.0)
-                 for a in range(3)], 1)
-            nrm = jnp.where((ncode >= 0)[:, None], nrm, enorm)
-            so = (oc + dc * nd[:, None]) * bsz - nrm * eps
-            pg = jnp.trunc(so).astype(jnp.int32)
-            stepv = jnp.sign(dc).astype(jnp.int32)
-            rd = jnp.where(dc == 0.0, 0.0, 1.0 / dc)
-            # Crossing times in the global frame of `so`; only the position is
-            # reduced to brick-local coordinates (C trunc-mod, voxel.cuh:93).
-            cb = jnp.where(dc > 0, pg + 1.0, pg.astype(jnp.float32))
-            tmax = jnp.where(dc != 0.0, (cb - so) * rd, 1e6)
-            p = jnp.where(pg >= 0, pg % bsz, -((-pg) % bsz))
-            tdelta = jnp.abs(rd)
-            out = jnp.where(dc > 0, bsz, -1)
-
-            def walk(carry, _):
-                p, tmax, act = carry
-                inb = jnp.all((p >= 0) & (p < bsz), axis=1)
-                lin = jnp.clip(p[:, 0] + p[:, 1] * bsz + p[:, 2] * bsz * bsz,
-                               0, bsz ** 3 - 1)
-                step_out = (lin, act & inb)
-
-                tx, ty, tz = tmax[:, 0], tmax[:, 1], tmax[:, 2]
-                ax = jnp.where(tx < ty, jnp.where(tx < tz, 0, 2),
-                               jnp.where(ty < tz, 1, 2))
-                onehot = (jnp.arange(3)[None, :] == ax[:, None])
-                pn = p + jnp.where(onehot, stepv, 0)
-                exited = jnp.take_along_axis(pn, ax[:, None], 1)[:, 0] \
-                    == jnp.take_along_axis(out, ax[:, None], 1)[:, 0]
-                p = jnp.where(act[:, None], pn, p)
-                tmax = tmax + jnp.where(onehot & act[:, None], tdelta, 0.0)
-                act = act & ~exited
-                return (p, tmax, act), step_out
-
-            _, (lin_s, mask_s) = jax.lax.scan(
-                walk, (p, tmax, valid), None, length=nvox)
-            lin_a = lin_s.T                                  # [C, nvox]
-            mask_a = mask_s.T
-            gidx = jnp.clip(slot[:, None] * (bsz ** 3) + lin_a, 0, pvox - 1)
-            return gidx, mask_a
-
-        parts = [seg_indices(k) for k in range(k_segments)]
-        gidx = jnp.concatenate([g for g, _ in parts], axis=1)  # [C, K*nvox]
-        mask = jnp.concatenate([m for _, m in parts], axis=1)
-
-        occ_v = jnp.take(occ_flat, gidx)                       # [C, K*nvox]
-        occ_v = jnp.where(mask, jnp.clip(occ_v, 0.0, 1.0), 0.0)
-        alb_v = jnp.take(alb_flat, gidx, axis=0)               # [C, K*nvox, 3]
-
-        # Front-to-back compositing: w_i = occ_i * prod_{j<i}(1-occ_j),
-        # scanned along the path (exact gradients even at occ == 1, where a
-        # cumprod/division formulation would NaN).
-        def comp(carry, xs):
-            trans, rgb = carry
-            ov, av = xs
-            rgb = rgb + (trans * ov)[:, None] * av
-            trans = trans * (1.0 - ov)
-            return (trans, rgb), None
-
-        (trans, rgb), _ = jax.lax.scan(
-            comp,
-            (jnp.ones((occ_v.shape[0],), jnp.float32),
-             jnp.zeros((occ_v.shape[0], 3), jnp.float32)),
-            (occ_v.T, alb_v.transpose(1, 0, 2)))
-        rgb = rgb + trans[:, None] * bg
-        return rgb, trans
+        gidx, mask = _segment_gidx(oc, dc, cells, nds, ncodes, enorm,
+                                   cellmap, grid, k_segments, pvox)
+        occ_raw = jnp.take(occupancy.reshape(-1), gidx)     # [C, K*nvox]
+        alb_v = jnp.take(albedo.reshape(-1, 3), gidx, axis=0)
+        return _composite_raw(occ_raw, alb_v, mask, bg)
 
     if n <= rays_per_chunk:
         return run_chunk((o_cells, direction, segs["cells"], segs["nd"],
@@ -210,19 +219,31 @@ def _chunk_grad_acc(o_cells, direction, cells, nd, ncode, enorm, cellmap,
                     sse_acc, docc_acc, dalb_acc, occupancy, albedo,
                     background, target, grid: GridConfig, k_segments: int):
     """One chunk's sum-of-squared-error gradients added into donated
-    accumulators (single device program, no inner scan: the whole-frame
-    backward OOMs, see l2_loss_and_grads_sparse)."""
-    segs = {"cells": cells, "nd": nd, "ncode": ncode, "entry_normal": enorm}
+    accumulators.
 
-    def sse_fn(occ, alb):
-        rgb, _ = composite_sparse(
-            o_cells, direction, segs, cellmap, occ, alb, background,
-            grid, k_segments=k_segments, rays_per_chunk=o_cells.shape[0])
+    Differentiates w.r.t. the *gathered* per-ray voxel values ([C, K*nvox])
+    and scatter-adds the cotangents straight into the donated accumulators —
+    never materializing a [P,512(,3)]-sized gradient per chunk (a
+    value_and_grad over the full fields costs ~6 GB of accumulator traffic
+    per chunk and OOMs HBM at whole-frame scale)."""
+    pvox = occupancy.shape[0] * occupancy.shape[1]
+    gidx, mask = _segment_gidx(o_cells, direction, cells, nd, ncode, enorm,
+                               cellmap, grid, k_segments, pvox)
+    occ_raw = jnp.take(occupancy.reshape(-1), gidx)
+    alb_raw = jnp.take(albedo.reshape(-1, 3), gidx, axis=0)
+
+    def sse_fn(occ_r, alb_r):
+        rgb, _ = _composite_raw(occ_r, alb_r, mask, background)
         return jnp.sum((rgb - target) ** 2)
 
-    sse, (docc, dalb) = jax.value_and_grad(sse_fn, argnums=(0, 1))(
-        occupancy, albedo)
-    return sse_acc + sse, docc_acc + docc, dalb_acc + dalb
+    sse, (d_occ, d_alb) = jax.value_and_grad(sse_fn, argnums=(0, 1))(
+        occ_raw, alb_raw)
+    flat_idx = gidx.reshape(-1)
+    docc_acc = docc_acc.reshape(-1).at[flat_idx].add(
+        d_occ.reshape(-1)).reshape(docc_acc.shape)
+    dalb_acc = dalb_acc.reshape(-1, 3).at[flat_idx].add(
+        d_alb.reshape(-1, 3)).reshape(dalb_acc.shape)
+    return sse_acc + sse, docc_acc, dalb_acc
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("denom",))
@@ -235,7 +256,7 @@ def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
                              albedo, background, target, grid: GridConfig,
                              k_segments: int = 16,
                              rays_per_chunk: int = 32768,
-                             host_chunk: int = 65536,
+                             host_chunk: int = 262144,
                              interpret: bool = False):
     """L2 image loss + gradients w.r.t. the sparse pool fields.
 
@@ -275,17 +296,13 @@ def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
 
     traced = isinstance(origin, jax.core.Tracer)
     if traced or n <= host_chunk:
-        @partial(jax.jit, static_argnames=())
-        def loss_fn(occ, alb):
-            rgb, _ = composite_sparse(
-                segs["o_cells"], direction, segs, cellmap, occ, alb,
-                background, grid, k_segments=k_segments,
-                rays_per_chunk=rays_per_chunk)
-            return jnp.mean((rgb - target) ** 2)
-
-        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            occupancy, albedo)
-        return loss, grads
+        sse, docc, dalb = _chunk_grad_acc(
+            segs["o_cells"], direction, segs["cells"], segs["nd"],
+            segs["ncode"], segs["entry_normal"], cellmap,
+            jnp.zeros((), jnp.float32), jnp.zeros_like(occupancy),
+            jnp.zeros_like(albedo), occupancy, albedo, background, target,
+            grid, k_segments)
+        return _finalize(sse, docc, dalb, denom=n * 3)
 
     # Host-chunked accumulation.  Padded rays record no segments and carry
     # zero background/target, so they contribute exactly zero SSE and grads.
