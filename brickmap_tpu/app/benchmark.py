@@ -31,10 +31,14 @@ def _sync(tree) -> float:
     """Force completion AND confirm it: pull a scalar to the host.
 
     ``jax.block_until_ready`` does not reliably block through the remote-TPU
-    tunnel, so timing must round-trip a value derived from the result.
+    tunnel, so timing must round-trip a value derived from the result.  The
+    value is sliced to ONE element on device first: pulling a whole [N,3]
+    film through the tunnel costs ~0.3-0.4 s and would bill readback to the
+    render (the reference's harness never reads frames back either —
+    presentation is a GPU-side blit, kernel.cu:428).
     """
-    leaves = jax.tree_util.tree_leaves(tree)
-    return float(np.asarray(leaves[0]).ravel()[0])
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(np.asarray(leaf.reshape(-1)[:1])[0])
 
 from ..config import BrickmapConfig
 from ..ops import sunsky as ss

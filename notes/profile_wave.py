@@ -39,7 +39,10 @@ from brickmap_tpu.render.pathtrace import (
 
 
 def sync(x):
-    return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
+    # Slice ONE element on device first: pulling a whole [2M,3] leaf through
+    # the tunnel costs ~300-400 ms and would inflate every phase number.
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(np.asarray(leaf.reshape(-1)[:1])[0])
 
 
 tag = "small" if args.small else "full"
