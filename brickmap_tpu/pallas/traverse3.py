@@ -20,12 +20,14 @@ TPU mapping (costs measured on v5e, notes/PERF.md round 2):
 * **Empty-page transit**: once per round (not per step), lanes whose page is
   empty jump across the page-level Chebyshev safe box with the exact ESS
   jump arithmetic of the XLA path.
-* **Descends**: batched per phase and served for EVERY voted page (page
-  divergence in bounce/shadow tiles otherwise serializes rounds); the LoD
-  byte comes from a 1024-entry register gather (~0.1 us/tile), brick
-  payloads from per-page one-hot MXU matmuls against the voted [64, 4096]
-  byte pools (bytes are exact in bf16 — the MXU's default f32 path truncates
-  operands to bf16, so wider integers would round).
+* **Descends**: batched per phase; byte (LoD) descends serve every voted
+  page, brick descends serve the voted pool SUBPAGES (4-cell z-slabs,
+  128 KB DMA each) elected by descend-waiting lanes — terrain wanters
+  cluster in their page's surface slab.  The LoD byte comes from a
+  1024-entry register gather (~0.1 us/tile), brick payloads from per-subpage
+  one-hot MXU matmuls against the voted [64, 1024] byte pools (bytes are
+  exact in bf16 — the MXU's default f32 path truncates operands to bf16, so
+  wider integers would round).
 * **Divergence**: lanes stall while their page is not voted; coherent tiles
   (square pixel blocks) keep stalls low.  Rays exhausting the page-round
   budget report ``exhausted`` instead of silently missing.
@@ -92,20 +94,21 @@ def _sel_axis(tx, ty, tz):
 
 
 def _fetch_bricks_multi(poolT_s, slot, pslot, num_pages: int):
-    """Multi-page one-hot MXU fetch: 16 uint32 brick words per lane.
+    """Multi-subpage one-hot MXU fetch: 16 uint32 brick words per lane.
 
-    poolT_s: (NP, 64, 4096) bf16 scratch holding the round's voted pages —
-    byte b of word k in row 4k+b (bytes are exact in bf16; bf16 x bf16 ->
-    f32 is the MXU's native mode).
-    slot: (8, 128) i32 in-page cell index; pslot: (8, 128) i32 voted-page
-    slot per lane (one-hot columns are masked per page and the partial
-    products accumulated — NP x the single-page matmul cost, ~5 us each).
+    poolT_s: (NPP, 64, 1024) bf16 scratch holding the round's voted pool
+    subpages — byte b of word k in row 4k+b (bytes are exact in bf16;
+    bf16 x bf16 -> f32 is the MXU's native mode).
+    slot: (8, 128) i32 in-subpage cell index; pslot: (8, 128) i32 voted
+    subpage slot per lane (one-hot columns are masked per subpage and the
+    partial products accumulated — NPP x the single matmul cost, ~1.3 us).
     """
-    cell_iota = jax.lax.broadcasted_iota(jnp.int32, (4096, 128), 0)
+    ncells = poolT_s.shape[-1]
+    cell_iota = jax.lax.broadcasted_iota(jnp.int32, (ncells, 128), 0)
     chunks = []
     for s in range(8):
-        srow = jax.lax.broadcast_in_dim(slot[s], (4096, 128), (1,))
-        prow = jax.lax.broadcast_in_dim(pslot[s], (4096, 128), (1,))
+        srow = jax.lax.broadcast_in_dim(slot[s], (ncells, 128), (1,))
+        prow = jax.lax.broadcast_in_dim(pslot[s], (ncells, 128), (1,))
         acc = None
         for pg in range(num_pages):
             ohT = ((srow == cell_iota) & (prow == pg)).astype(jnp.bfloat16)
@@ -134,7 +137,7 @@ def _sel16(words, widx):
 
 def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                  phase_iters: int, transit_iters: int, pages_per_round: int,
-                 use_lod: bool, streaming: bool, nr4: int):
+                 pool_fanout: int, use_lod: bool, streaming: bool, nr4: int):
     """Build the kernel body (static geometry baked in)."""
     i32, f32 = jnp.int32, jnp.float32
     s = grid.supergrid_cell_size            # 16
@@ -299,17 +302,19 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                                    jnp.max(st["alive"]) > 0)
 
         NP = pages_per_round
+        NPP = pool_fanout
 
         def round_body(st):
             alive = st["alive"] != 0
             sc = page_of(st["px"], st["py"], st["pz"])
             sc_c = jnp.where(alive, sc, DEAD_SC)
             dpage = _gather_scdist(scd, jnp.clip(sc_c, 0, nr4 * 1024 - 1))
+            wanting = st["wantb"] != 0
             need = alive & ((dpage == 0)
                             | (st["wanty"] + st["wantb"] > 0))
             # Vote the NP smallest distinct needed pages: incoherent (bounce)
             # tiles spread over many pages take NP pages per round instead of
-            # one, and descends are served for every voted page.
+            # one.
             page_ids = []
             prev = jnp.int32(-1)
             for _ in range(NP):
@@ -325,10 +330,31 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
             page_ids = [page_ids[0]] + [
                 jnp.where(p < DEAD_SC, p, -1) for p in page_ids[1:]]
 
+            # Pool SUBPAGES (quarter pages: 4-cell z-slabs, 128 KB) get their
+            # own NPP-wide vote restricted to lanes WAITING on a brick
+            # descend: a 512 KB pool DMA per marched page is mostly wasted
+            # bandwidth, the combined vote could starve descend-waiting lanes
+            # behind march pages, and terrain wanters cluster in the surface
+            # z-slab of their page.
+            lin_here = (((st["pz"] & 15) * s + (st["py"] & 15)) * s
+                        + (st["px"] & 15))
+            skey = jnp.where(alive & wanting,
+                             sc_c * 4 + (lin_here >> 10), DEAD_SC)
+            pool_ids = []
+            prev = jnp.int32(-1)
+            for _ in range(NPP):
+                cand = jnp.where(skey > prev, skey, DEAD_SC)
+                m = jnp.min(cand)
+                pool_ids.append(m)
+                prev = m
+            pool_ids[0] = jnp.where(pool_ids[0] < DEAD_SC, pool_ids[0],
+                                    page_ids[0] * 4)
+            pool_ids = [pool_ids[0]] + [
+                jnp.where(p < DEAD_SC, p, -1) for p in pool_ids[1:]]
+
             # Page DMAs start now and retire exactly once per round (a second
             # wait on a DMA semaphore faults the core); the transit phase
-            # below overlaps the copies.  Pool pages stream for EVERY voted
-            # page so descends never serialize on one page per round.
+            # below overlaps the copies.
             copies = []
             for k in range(NP):
                 pid = jnp.clip(page_ids[k], 0, meta_hbm.shape[0] - 1)
@@ -336,8 +362,13 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                     meta_hbm.at[pid], meta_s.at[k], sem_meta.at[k])
                 cp.start()
                 copies.append(cp)
+            for k in range(NPP):
+                pid = jnp.clip(pool_ids[k], 0,
+                               poolT_hbm.shape[0] * 4 - 1)
                 cpp = pltpu.make_async_copy(
-                    poolT_hbm.at[pid], poolT_s.at[k], sem_pool.at[k])
+                    poolT_hbm.at[pid >> 2, :,
+                                 pl.ds((pid & 3) * 1024, 1024)],
+                    poolT_s.at[k], sem_pool.at[k])
                 cpp.start()
                 copies.append(cpp)
 
@@ -435,6 +466,13 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 slot = jnp.full((8, 128), -1, i32)
                 for k in range(NP - 1, -1, -1):
                     slot = jnp.where(sc == page_ids[k], k, slot)
+                return slot
+
+            def pool_slot_of(skey):
+                """Voted-subpage slot for per-lane keys sc*4 + (lin>>10)."""
+                slot = jnp.full((8, 128), -1, i32)
+                for k in range(NPP - 1, -1, -1):
+                    slot = jnp.where(skey == pool_ids[k], k, slot)
                 return slot
 
             def phase(_, st):
@@ -611,18 +649,18 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 st = jax.lax.cond(jnp.max(yb.astype(i32)) > 0, do_byte,
                                   lambda st: st, st)
 
-                # ---- brick descends (8x8x8 over pool; any voted page) ------
+                # ---- brick descends (8x8x8 over the voted pool subpages) ---
                 sc_now = page_of(st["px"], st["py"], st["pz"])
-                pslot_b = page_slot_of(sc_now)
+                lin_now = (((st["pz"] & 15) * s + (st["py"] & 15)) * s
+                           + (st["px"] & 15))
+                pslot_b = pool_slot_of(sc_now * 4 + (lin_now >> 10))
                 bb = (st["alive"] != 0) & (st["wantb"] != 0) \
                     & (pslot_b >= 0)
 
                 def do_brick(st):
-                    lin = (((st["pz"] & 15) * s + (st["py"] & 15)) * s
-                           + (st["px"] & 15))
-                    slot = jnp.where(bb, lin, 0)
+                    slot = jnp.where(bb, lin_now & 1023, 0)
                     words = _fetch_bricks_multi(
-                        poolT_s, slot, jnp.where(bb, pslot_b, 0), NP)
+                        poolT_s, slot, jnp.where(bb, pslot_b, 0), NPP)
 
                     def occ_fn(bx, by, bz):
                         l = jnp.clip(bx + by * bsz + bz * bsz * bsz, 0,
@@ -669,16 +707,17 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
 @partial(jax.jit,
          static_argnames=("grid", "max_page_rounds", "march_steps",
                           "phase_iters", "transit_iters", "pages_per_round",
-                          "use_lod", "streaming", "interpret"))
+                          "pool_fanout", "use_lod", "streaming", "interpret"))
 def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
                 max_page_rounds: int, march_steps: int, phase_iters: int,
-                transit_iters: int, pages_per_round: int, use_lod: bool,
-                streaming: bool, interpret: bool):
+                transit_iters: int, pages_per_round: int, pool_fanout: int,
+                use_lod: bool, streaming: bool, interpret: bool):
     t_tiles = comps[0].shape[0]
     kernel = _make_kernel(grid, max_page_rounds=max_page_rounds,
                           march_steps=march_steps, phase_iters=phase_iters,
                           transit_iters=transit_iters,
-                          pages_per_round=pages_per_round, use_lod=use_lod,
+                          pages_per_round=pages_per_round,
+                          pool_fanout=pool_fanout, use_lod=use_lod,
                           streaming=streaming, nr4=scd.shape[0])
     tile = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -704,11 +743,11 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
         out_shape=out_sd,
         scratch_shapes=[
             pltpu.VMEM((pages_per_round, 16, 128), jnp.int32),  # meta pages
-            pltpu.VMEM((pages_per_round, 64, 4096), jnp.bfloat16),  # pools
+            pltpu.VMEM((pool_fanout, 64, 1024), jnp.bfloat16),  # pool subpages
             pltpu.SemaphoreType.DMA((pages_per_round,)),
-            pltpu.SemaphoreType.DMA((pages_per_round,)),
+            pltpu.SemaphoreType.DMA((pool_fanout,)),
         ],
-        # NP pool pages (0.5 MB each) + one-hot staging exceed the 16 MB
+        # Pool pages (0.5 MB each) + one-hot staging exceed the 16 MB
         # default scoped-VMEM budget; v5e has 128 MiB of VMEM.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -719,13 +758,13 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
 @partial(jax.jit,
          static_argnames=("grid", "max_page_rounds", "march_steps",
                           "phase_iters", "transit_iters", "pages_per_round",
-                          "use_lod", "streaming", "interpret"))
+                          "pool_fanout", "use_lod", "streaming", "interpret"))
 def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
                      grid: GridConfig, max_page_rounds: int = 96,
                      march_steps: int = 48, phase_iters: int = 2,
                      transit_iters: int = 2, pages_per_round: int = 4,
-                     use_lod: bool = True, streaming: bool = True,
-                     interpret: bool = False):
+                     pool_fanout: int = 1, use_lod: bool = True,
+                     streaming: bool = True, interpret: bool = False):
     """Trace rays with the fused hierarchical kernel.
 
     Same contract/results as :func:`brickmap_tpu.ops.traverse.trace_rays`
@@ -761,7 +800,7 @@ def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
     hit, t, ncode, req, reqpos, exh, rounds = _paged_call(
         cam, pscene.sc_dist, pscene.meta, pscene.poolT, tuple(comps), grid,
         max_page_rounds, march_steps, phase_iters, transit_iters,
-        pages_per_round, use_lod, streaming, interpret)
+        pages_per_round, pool_fanout, use_lod, streaming, interpret)
 
     def unpad(a):
         return a.reshape(-1)[:n]

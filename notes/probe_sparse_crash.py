@@ -94,3 +94,26 @@ for rep in range(2):
     dt = time.time() - t0
     print(f"STAGE warm{rep} ok  loss={lv:.5f}  {dt:.1f}s  "
           f"{n/dt/1e6:.3f} Mrays/s fwd+bwd", flush=True)
+
+# Breakdown: sorted record alone vs the grad replay (warm).
+import jax.numpy as jnp2  # noqa: E402
+
+s16 = float(grid.brick_size * grid.supergrid_cell_size)
+q = jnp.clip((origins / s16).astype(jnp.int32), 0,
+             max(grid.supergrid_xy, grid.supergrid_z) - 1)
+pagek = (q[:, 0] + q[:, 1] * grid.supergrid_xy
+         + q[:, 2] * grid.supergrid_xy ** 2)
+octk = ((dirs[:, 0] > 0).astype(jnp.int32)
+        + 2 * (dirs[:, 1] > 0).astype(jnp.int32)
+        + 4 * (dirs[:, 2] > 0).astype(jnp.int32))
+order = jnp.argsort(pagek * 8 + octk)
+o_s = jnp.take(origins, order, axis=0)
+d_s = jnp.take(dirs, order, axis=0)
+float(np.asarray(o_s.reshape(-1)[:1])[0])
+from brickmap_tpu.pallas.record import record_segments as _rs  # noqa: E402
+
+for rep in range(2):
+    t0 = time.time()
+    segs = _rs(o_s, d_s, psc, grid, k_segments=args.k)
+    float(np.asarray(segs["count"].reshape(-1)[:1])[0])
+    print(f"STAGE record-sorted{rep}  {time.time()-t0:.1f}s", flush=True)
