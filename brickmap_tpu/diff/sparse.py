@@ -112,27 +112,43 @@ def _segment_gidx(oc, dc, cells, nds, ncodes, enorm, cellmap,
         tdelta = jnp.abs(rd)
 
         # The visit sequence is the 3-way merge of per-axis arithmetic
-        # crossing-time progressions — computed with ONE row-sort instead of
-        # a sequential scan (a 22-iteration scan is 22 HBM round-trips of
-        # the whole chunk; measured ~7 s per 256k-ray chunk program).
-        # Concatenation order (z, y, x) reproduces the sequential walk's
-        # tie-breaking: x steps only when strictly smallest, z wins y-ties
-        # (_sel_axis / voxel.cuh:249).
-        jmul = jnp.arange(nvox - 1, dtype=jnp.float32)[None, :]
+        # crossing-time progressions.  Ranks are CLOSED-FORM — the j-th
+        # crossing of axis a sits at rank j + sum over other axes of
+        # "crossings strictly earlier" (a floor-division count) — so no
+        # sequential scan (22 HBM round-trips of the chunk per segment)
+        # and no row-sort (a bitonic sort is ~36 such round-trips).
+        # Exact-time ties across axes collapse into one diagonal step,
+        # an FP-measure-zero deviation from the sequential walk's
+        # z-over-y-over-x tie order (accepted; see ADVICE round 1).
+        nj = nvox - 1
+        jmul = jnp.arange(nj, dtype=jnp.float32)[None, :]
 
         def ap(a):
             return jnp.where((dc[:, a] != 0.0)[:, None],
                              tmax[:, a:a + 1] + jmul * tdelta[:, a:a + 1],
                              jnp.float32(1e6))
 
-        keys = jnp.concatenate([ap(2), ap(1), ap(0)], axis=1)
-        order = jnp.argsort(keys, axis=1)[:, :nvox - 1]
-        ax_k = jnp.where(order < nvox - 1, 2,
-                         jnp.where(order < 2 * (nvox - 1), 1, 0))
-        onehot = ax_k[:, :, None] == jnp.arange(3)[None, None, :]
-        cum = jnp.cumsum(onehot.astype(jnp.int32), axis=1)  # [C, nvox-1, 3]
-        offs = jnp.concatenate(
-            [jnp.zeros((cum.shape[0], 1, 3), jnp.int32), cum], axis=1)
+        tcr = [ap(a) for a in range(3)]                     # [C, nj] each
+
+        def count_before(b, T):
+            """#{i >= 0 : tmax_b + i*tdelta_b < T}, clipped to nj."""
+            db = jnp.where(tdelta[:, b:b + 1] == 0.0, 1.0,
+                           tdelta[:, b:b + 1])
+            c = jnp.ceil((T - tmax[:, b:b + 1]) / db).astype(jnp.int32)
+            c = jnp.where((dc[:, b] != 0.0)[:, None], c, 0)
+            return jnp.clip(c, 0, nj)
+
+        ks = jnp.arange(nvox, dtype=jnp.int32)[None, None, :]
+        offs_ax = []
+        for a in range(3):
+            others = [b for b in range(3) if b != a]
+            rank = (jnp.arange(nj, dtype=jnp.int32)[None, :]
+                    + count_before(others[0], tcr[a])
+                    + count_before(others[1], tcr[a]))     # [C, nj]
+            # offsets after k merged crossings: #{j : rank_j < k}
+            offs_ax.append(jnp.sum(
+                (rank[:, :, None] < ks).astype(jnp.int32), axis=1))
+        offs = jnp.stack(offs_ax, axis=2)                   # [C, nvox, 3]
         pk = p[:, None, :] + stepv[:, None, :] * offs       # [C, nvox, 3]
         inb = jnp.all((pk >= 0) & (pk < bsz), axis=2)
         mask = valid[:, None] & inb
