@@ -146,6 +146,7 @@ def _trace(origins, dirs, scene, cam_brick, cfg: BrickmapConfig):
             phase_iters=cfg.render.paged_phases,
             transit_iters=cfg.render.paged_transit,
             pages_per_round=cfg.render.paged_fanout,
+            pool_fanout=cfg.render.paged_pool_fanout,
             interpret=jax.devices()[0].platform == "cpu",
         )
     if scene.block_words is not None:

@@ -57,20 +57,23 @@ dirs = jnp.asarray(dirs)
 bg = jnp.zeros((n, 3), jnp.float32)
 tgt = jnp.full((n, 3), 0.4, jnp.float32)
 
-t0 = time.time()
-segs = record_segments(origins, dirs, psc, grid, k_segments=args.k)
-cnt = int(jnp.sum(segs["count"]))
-print(f"STAGE record ok  total-segs={cnt}  {time.time()-t0:.1f}s", flush=True)
-if args.stage == "record":
-    sys.exit(0)
+if args.stage != "gradonly":
+    t0 = time.time()
+    segs = record_segments(origins, dirs, psc, grid, k_segments=args.k)
+    cnt = int(jnp.sum(segs["count"]))
+    print(f"STAGE record ok  total-segs={cnt}  {time.time()-t0:.1f}s",
+          flush=True)
+    if args.stage == "record":
+        sys.exit(0)
 
-t0 = time.time()
-rgb, trans = composite_sparse(segs["o_cells"], dirs, segs, cellmap, occ_j,
-                              alb_j, bg, grid, k_segments=args.k)
-m = float(jnp.mean(rgb))
-print(f"STAGE fwd ok  mean={m:.4f}  {time.time()-t0:.1f}s", flush=True)
-if args.stage == "fwd":
-    sys.exit(0)
+if args.stage != "gradonly":
+    t0 = time.time()
+    rgb, trans = composite_sparse(segs["o_cells"], dirs, segs, cellmap,
+                                  occ_j, alb_j, bg, grid, k_segments=args.k)
+    m = float(jnp.mean(rgb))
+    print(f"STAGE fwd ok  mean={m:.4f}  {time.time()-t0:.1f}s", flush=True)
+    if args.stage == "fwd":
+        sys.exit(0)
 
 
 from brickmap_tpu.diff.sparse import l2_loss_and_grads_sparse
