@@ -238,43 +238,50 @@ def composite_sparse(o_cells, direction, segs, cellmap, occupancy, albedo,
     return rgb.reshape(-1, 3)[:n], trans.reshape(-1)[:n]
 
 
-@partial(jax.jit, donate_argnums=(7, 8, 9),
+@partial(jax.jit, donate_argnums=(7, 8),
          static_argnames=("grid", "k_segments"))
 def _chunk_grad_acc(o_cells, direction, cells, nd, ncode, enorm, cellmap,
-                    sse_acc, docc_acc, dalb_acc, occupancy, albedo,
-                    background, target, grid: GridConfig, k_segments: int):
+                    sse_acc, dfield_acc, field, background, target,
+                    grid: GridConfig, k_segments: int):
     """One chunk's sum-of-squared-error gradients added into donated
     accumulators.
 
-    Differentiates w.r.t. the *gathered* per-ray voxel values ([C, K*nvox])
-    and scatter-adds the cotangents straight into the donated accumulators —
-    never materializing a [P,512(,3)]-sized gradient per chunk (a
-    value_and_grad over the full fields costs ~6 GB of accumulator traffic
+    ``field`` packs (occupancy, albedo) as [P*512, 4] so the chunk does ONE
+    row gather and ONE row scatter-add (the replay is descriptor-bound:
+    separate occ/albedo fetches double the ~46 M descriptors per frame).
+    Differentiates w.r.t. the *gathered* per-ray voxel values and
+    scatter-adds the cotangents straight into the donated accumulator —
+    never materializing a [P*512, 4]-sized gradient per chunk (a
+    value_and_grad over the full field costs ~6 GB of accumulator traffic
     per chunk and OOMs HBM at whole-frame scale)."""
-    pvox = occupancy.shape[0] * occupancy.shape[1]
+    pvox = field.shape[0]
     gidx, mask = _segment_gidx(o_cells, direction, cells, nd, ncode, enorm,
                                cellmap, grid, k_segments, pvox)
-    occ_raw = jnp.take(occupancy.reshape(-1), gidx)
-    alb_raw = jnp.take(albedo.reshape(-1, 3), gidx, axis=0)
+    fld_raw = jnp.take(field, gidx, axis=0)        # [C, K*nvox, 4]
 
-    def sse_fn(occ_r, alb_r):
-        rgb, _ = _composite_raw(occ_r, alb_r, mask, background)
+    def sse_fn(fld):
+        rgb, _ = _composite_raw(fld[..., 0], fld[..., 1:], mask, background)
         return jnp.sum((rgb - target) ** 2)
 
-    sse, (d_occ, d_alb) = jax.value_and_grad(sse_fn, argnums=(0, 1))(
-        occ_raw, alb_raw)
-    flat_idx = gidx.reshape(-1)
-    docc_acc = docc_acc.reshape(-1).at[flat_idx].add(
-        d_occ.reshape(-1)).reshape(docc_acc.shape)
-    dalb_acc = dalb_acc.reshape(-1, 3).at[flat_idx].add(
-        d_alb.reshape(-1, 3)).reshape(dalb_acc.shape)
-    return sse_acc + sse, docc_acc, dalb_acc
+    sse, d_fld = jax.value_and_grad(sse_fn)(fld_raw)
+    dfield_acc = dfield_acc.at[gidx.reshape(-1)].add(
+        d_fld.reshape(-1, 4))
+    return sse_acc + sse, dfield_acc
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("denom",))
-def _finalize(sse, docc, dalb, denom: int):
+@partial(jax.jit, static_argnames=("denom", "pshape"))
+def _finalize(sse, dfield, denom: int, pshape: tuple):
     inv = jnp.float32(1.0 / denom)
-    return sse * inv, (docc * inv, dalb * inv)
+    docc = (dfield[:, 0] * inv).reshape(pshape)
+    dalb = (dfield[:, 1:] * inv).reshape(*pshape, 3)
+    return sse * inv, (docc, dalb)
+
+
+@jax.jit
+def _pack_field(occupancy, albedo):
+    """(occ [P,512], alb [P,512,3]) -> one [P*512, 4] gather row."""
+    return jnp.concatenate(
+        [occupancy.reshape(-1, 1), albedo.reshape(-1, 3)], axis=1)
 
 
 def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
@@ -319,15 +326,16 @@ def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
     segs = record_segments(origin, direction, pscene, grid,
                            k_segments=k_segments, interpret=interpret)
 
+    pshape = occupancy.shape
+    field = _pack_field(occupancy, albedo)
     traced = isinstance(origin, jax.core.Tracer)
     if traced or n <= host_chunk:
-        sse, docc, dalb = _chunk_grad_acc(
+        sse, dfield = _chunk_grad_acc(
             segs["o_cells"], direction, segs["cells"], segs["nd"],
             segs["ncode"], segs["entry_normal"], cellmap,
-            jnp.zeros((), jnp.float32), jnp.zeros_like(occupancy),
-            jnp.zeros_like(albedo), occupancy, albedo, background, target,
-            grid, k_segments)
-        return _finalize(sse, docc, dalb, denom=n * 3)
+            jnp.zeros((), jnp.float32), jnp.zeros_like(field), field,
+            background, target, grid, k_segments)
+        return _finalize(sse, dfield, denom=n * 3, pshape=pshape)
 
     # Host-chunked accumulation.  Padded rays record no segments and carry
     # zero background/target, so they contribute exactly zero SSE and grads.
@@ -350,12 +358,11 @@ def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
     del segs  # free the unpadded copies' device buffers
 
     sse_acc = jnp.zeros((), jnp.float32)
-    docc_acc = jnp.zeros_like(occupancy)
-    dalb_acc = jnp.zeros_like(albedo)
+    dfield_acc = jnp.zeros_like(field)
     for start in range(0, n + pad, host_chunk):
         sl = slice(start, start + host_chunk)
-        sse_acc, docc_acc, dalb_acc = _chunk_grad_acc(
+        sse_acc, dfield_acc = _chunk_grad_acc(
             o_cells[sl], dirs_p[sl], cells_p[sl], nd_p[sl], ncode_p[sl],
-            enorm_p[sl], cellmap, sse_acc, docc_acc, dalb_acc,
-            occupancy, albedo, bg_p[sl], tgt_p[sl], grid, k_segments)
-    return _finalize(sse_acc, docc_acc, dalb_acc, denom=n * 3)
+            enorm_p[sl], cellmap, sse_acc, dfield_acc, field,
+            bg_p[sl], tgt_p[sl], grid, k_segments)
+    return _finalize(sse_acc, dfield_acc, denom=n * 3, pshape=pshape)
