@@ -121,6 +121,32 @@ def test_sparse_matches_dense_compositor(sparse_world, rng):
                                atol=2e-3)
 
 
+def test_host_chunked_grads_match_single_program(sparse_world, rng):
+    """The donated-accumulator chunk loop == the single-program path.
+
+    The 1080p frame gradient must be host-chunked (a whole-frame backward
+    exhausts HBM); chunking and padding must not change loss or grads."""
+    dense, sc, psc, cellmap, occ, alb = sparse_world
+    occ = occ * 0.7
+    alb = alb * 0.5
+
+    n = 700  # deliberately not a multiple of the chunk size below
+    origins, dirs = rays_toward(rng, n)
+    bg = np.zeros((n, 3), np.float32)
+    tgt = np.full((n, 3), 0.3, np.float32)
+    args = (jnp.asarray(origins), jnp.asarray(dirs), psc, cellmap,
+            jnp.asarray(occ), jnp.asarray(alb), jnp.asarray(bg),
+            jnp.asarray(tgt), GRID)
+
+    l1, (go1, ga1) = l2_loss_and_grads_sparse(*args, k_segments=6,
+                                              interpret=True)
+    l2, (go2, ga2) = l2_loss_and_grads_sparse(*args, k_segments=6,
+                                              interpret=True, host_chunk=256)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(go1), np.asarray(go2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga1), np.asarray(ga2), atol=1e-6)
+
+
 def test_sparse_gradients_fd(sparse_world, rng):
     """Finite-difference check of d(loss)/d(occupancy, albedo)."""
     dense, sc, psc, cellmap, occ, alb = sparse_world
