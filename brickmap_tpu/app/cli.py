@@ -237,6 +237,9 @@ def cmd_inverse(args) -> int:
     from ..diff.render import composite_rays, l2_loss_and_grads
     from ..utils.image import write_png
 
+    if args.sparse:
+        return _cmd_inverse_sparse(args)
+
     rng = np.random.default_rng(args.seed)
     g = args.grid
     # Ground truth: a floating blob of solid voxels with banded albedo.
@@ -277,6 +280,88 @@ def cmd_inverse(args) -> int:
             print(f"step {step}: loss {float(loss):.6f}", file=sys.stderr)
     print(json.dumps({
         "steps": args.steps, "loss_first": loss0, "loss_final": float(loss),
+        "seconds": time.perf_counter() - t0,
+    }))
+    return 0
+
+
+def _cmd_inverse_sparse(args) -> int:
+    """Inverse rendering over the SPARSE brick pool (BASELINE config 5):
+    recover per-voxel albedo (and refine occupancy) of a terrain world from
+    rendered targets, via Pallas segment recording + bounded-K replay."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .. import scene as scene_mod
+    from ..config import GridConfig
+    from ..diff.sparse import (cell_pool_map, composite_sparse,
+                               l2_loss_and_grads_sparse,
+                               pool_fields_from_bitmask)
+    from ..pallas.paged import build_paged_scene
+    from ..pallas.record import record_segments
+
+    interpret = jax.devices()[0].platform == "cpu"
+    grid = GridConfig(grid_size=args.world, grid_height=args.world_height)
+    sc = scene_mod.generate_terrain_scene(grid)
+    psc = jax.tree.map(jnp.asarray, build_paged_scene(sc, grid))
+    cellmap = jnp.asarray(cell_pool_map(sc, grid))
+    occ_true, _ = pool_fields_from_bitmask(sc)
+    print(f"terrain world {args.world}^2x{args.world_height}, "
+          f"{occ_true.shape[0]} resident bricks", file=sys.stderr)
+
+    # Ground-truth albedo: height bands over the brick pool's voxels.
+    cm = np.asarray(cellmap)
+    zz, yy, xx = np.nonzero(cm >= 0)
+    vz = np.zeros((occ_true.shape[0], 512), np.float32)
+    vz[cm[zz, yy, xx]] = (zz[:, None] * 8
+                          + (np.arange(512) // 64)[None, :]).astype(
+                              np.float32) / (args.world_height)
+    alb_true = np.stack([0.2 + 0.7 * vz, 0.5 + 0.3 * np.sin(vz * 9.0),
+                         0.9 - 0.6 * vz], axis=-1).astype(np.float32)
+
+    rng = np.random.default_rng(args.seed)
+    n = args.rays
+    m = float(args.world)
+    ox = rng.uniform(0.05 * m, 0.95 * m, n).astype(np.float32)
+    oy = rng.uniform(0.05 * m, 0.95 * m, n).astype(np.float32)
+    oz = np.full(n, args.world_height - 2.0, np.float32)
+    origins = jnp.asarray(np.stack([ox, oy, oz], 1))
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs[:, 2] = -np.abs(dirs[:, 2]) - 0.7
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    dirs = jnp.asarray(dirs)
+    bg = jnp.zeros((n, 3), jnp.float32)
+
+    segs = record_segments(origins, dirs, psc, grid, k_segments=8,
+                           interpret=interpret)
+    target, _ = composite_sparse(segs["o_cells"], dirs, segs, cellmap,
+                                 jnp.asarray(occ_true),
+                                 jnp.asarray(alb_true), bg, grid,
+                                 k_segments=8)
+
+    occ = jnp.asarray(occ_true * 0.6)   # soft start; recover hardness
+    alb = jnp.full_like(jnp.asarray(alb_true), 0.5)
+    opt = optax.adam(args.lr)
+    state = opt.init((occ, alb))
+    t0 = time.perf_counter()
+    loss0 = None
+    for step in range(args.steps):
+        loss, (docc, dalb) = l2_loss_and_grads_sparse(
+            origins, dirs, psc, cellmap, occ, alb, bg, target, grid,
+            k_segments=8, interpret=interpret)
+        if loss0 is None:
+            loss0 = float(loss)
+        updates, state = opt.update((docc, dalb), state)
+        occ, alb = optax.apply_updates((occ, alb), updates)
+        occ = jnp.clip(occ, 0.0, 1.0)
+        alb = jnp.clip(alb, 0.0, 1.0)
+        if step % 10 == 0:
+            print(f"step {step}: loss {float(loss):.6f}", file=sys.stderr)
+    print(json.dumps({
+        "mode": "sparse", "world": args.world, "rays": n,
+        "bricks": int(occ_true.shape[0]), "steps": args.steps,
+        "loss_first": loss0, "loss_final": float(loss),
         "seconds": time.perf_counter() - t0,
     }))
     return 0
@@ -359,6 +444,12 @@ def main(argv=None) -> int:
     pi.add_argument("--steps", type=int, default=100)
     pi.add_argument("--lr", type=float, default=0.05)
     pi.add_argument("--seed", type=int, default=0)
+    pi.add_argument("--sparse", action="store_true",
+                    help="optimize the sparse brick-pool fields of a "
+                         "terrain world (config 5) instead of a dense grid")
+    pi.add_argument("--world", type=int, default=256,
+                    help="terrain world size for --sparse")
+    pi.add_argument("--world-height", type=int, default=128)
     pi.set_defaults(fn=cmd_inverse)
 
     pn = sub.add_parser("info", help="scene statistics")
