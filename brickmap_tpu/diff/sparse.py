@@ -287,7 +287,6 @@ def _pack_field(occupancy, albedo):
 def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
                              albedo, background, target, grid: GridConfig,
                              k_segments: int = 16,
-                             rays_per_chunk: int = 32768,
                              host_chunk: int = 262144,
                              interpret: bool = False):
     """L2 image loss + gradients w.r.t. the sparse pool fields.
