@@ -163,32 +163,75 @@ def _segment_gidx(oc, dc, cells, nds, ncodes, enorm, cellmap,
     return gidx, mask
 
 
+@jax.custom_vjp
+def _composite_core(occ_v, alb_v, bg):
+    """Front-to-back emission-absorption compositing of masked opacities.
+
+    Forward is a plain cumulative product (no AD flows through it — the
+    backward below is analytic); returns (rgb [C,3], trans [C])."""
+    cp = jnp.cumprod(1.0 - occ_v, axis=1)                # [C, V]
+    t_excl = jnp.concatenate(
+        [jnp.ones((occ_v.shape[0], 1), jnp.float32), cp[:, :-1]], axis=1)
+    w = occ_v * t_excl
+    rgb = jnp.einsum("cv,cvk->ck", w, alb_v) + cp[:, -1:] * bg
+    return rgb, cp[:, -1]
+
+
+def _composite_core_fwd(occ_v, alb_v, bg):
+    out = _composite_core(occ_v, alb_v, bg)
+    return out, (occ_v, alb_v, bg)
+
+
+def _composite_core_bwd(res, cots):
+    """Division-free analytic backward (exact even at occ == 1).
+
+    With s_i = albedo_i . drgb and the suffix recurrence
+    S_i = occ_i s_i + (1-occ_i) S_{i+1},  S_V = bg . drgb + dtrans,
+    the cotangents are d occ_i = T^excl_i (s_i - S_{i+1}) and
+    d alb_i = w_i drgb.  The affine recurrence is associative
+    ((a,b) o (a',b') = (a + b a', b b')), so S comes from one log-depth
+    reverse scan — no per-step residuals, no 1/(1-occ) divisions."""
+    occ_v, alb_v, bg = res
+    drgb, dtrans = cots
+    cp = jnp.cumprod(1.0 - occ_v, axis=1)
+    t_excl = jnp.concatenate(
+        [jnp.ones((occ_v.shape[0], 1), jnp.float32), cp[:, :-1]], axis=1)
+
+    s = jnp.einsum("cvk,ck->cv", alb_v, drgb)
+    g = jnp.einsum("ck,ck->c", bg, drgb) + dtrans        # [C]
+
+    def compose(left, right):
+        # reverse=True feeds (suffix, element); the composition applied to x
+        # is f_element(f_suffix(x))... measured empirically: the RIGHT slot
+        # is the earlier index, so combine as right o left.
+        al, bl = left
+        ar, br = right
+        return ar + br * al, bl * br
+
+    # (A_i, B_i) = f_i o f_{i+1} o ... o f_{V-1}; S_i = A_i + B_i * g.
+    a_el = occ_v * s
+    b_el = 1.0 - occ_v
+    A, B = jax.lax.associative_scan(compose, (a_el, b_el), reverse=True,
+                                    axis=1)
+    s_next = jnp.concatenate(
+        [A[:, 1:] + B[:, 1:] * g[:, None], g[:, None]], axis=1)  # S_{i+1}
+
+    d_occ = t_excl * (s - s_next)
+    d_alb = (occ_v * t_excl)[..., None] * drgb[:, None, :]
+    d_bg = cp[:, -1:] * drgb
+    return d_occ, d_alb, d_bg
+
+
+_composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
+
+
 def _composite_raw(occ_raw, alb_v, mask, bg):
-    """Front-to-back compositing of raw gathered voxel values.
+    """Mask + clip raw gathered voxel values, then composite.
 
-    Compositing is associative — (T1,C1) then (T2,C2) combine to
-    (T1*T2, C1 + T1*C2) — so the path reduces in log2(V) elementwise
-    halving passes instead of a V-step scan (a scan is V HBM round-trips
-    of the whole chunk) and the gradients are pure mul/add chains: exact
-    even at occ == 1, where a cumprod/division formulation would NaN.
-    Returns (rgb [C,3], trans [C]).
-    """
+    The clip/mask chain stays under autodiff; the compositing core has an
+    analytic custom VJP (above).  Returns (rgb [C,3], trans [C])."""
     occ_v = jnp.where(mask, jnp.clip(occ_raw, 0.0, 1.0), 0.0)
-    trans = 1.0 - occ_v                                  # [C, V]
-    crgb = occ_v[..., None] * alb_v                      # [C, V, 3]
-
-    v = occ_v.shape[1]
-    if v & (v - 1):  # pad to a power of two with identity segments
-        pow2 = 1 << (v - 1).bit_length()
-        trans = jnp.pad(trans, ((0, 0), (0, pow2 - v)), constant_values=1.0)
-        crgb = jnp.pad(crgb, ((0, 0), (0, pow2 - v), (0, 0)))
-    while trans.shape[1] > 1:
-        ta, tb = trans[:, 0::2], trans[:, 1::2]
-        ca, cb = crgb[:, 0::2], crgb[:, 1::2]
-        crgb = ca + ta[..., None] * cb
-        trans = ta * tb
-    trans = trans[:, 0]
-    return crgb[:, 0] + trans[:, None] * bg, trans
+    return _composite_core(occ_v, alb_v, bg)
 
 
 @partial(jax.jit, static_argnames=("grid", "k_segments", "rays_per_chunk"))
