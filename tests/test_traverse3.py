@@ -79,6 +79,30 @@ def random_rays(rng, n, lo, hi):
     return origins, directions
 
 
+def test_paged_meta_ess_nibbles(noise_scene):
+    """Meta rows 10-13 pack the index volume's Chebyshev skip distances
+    (bits 28:20), 4-bit nibbles 8-per-word, clamped to 15; 0 == occupied."""
+    from brickmap_tpu.config import BRICK_DIST_MASK, BRICK_DIST_SHIFT
+
+    sc, psc = noise_scene
+    iv = np.asarray(sc.index_volume)
+    meta = np.asarray(psc.meta).view(np.uint32)
+    occ = (iv & np.uint32(0xE000_0000)) != 0
+    dist = ((iv & np.uint32(BRICK_DIST_MASK)) >> BRICK_DIST_SHIFT).astype(int)
+    want = np.where(occ, 0, np.minimum(dist, 15))
+
+    s = 16
+    cz, cy, cx = iv.shape
+    cell_rng = np.random.default_rng(7)
+    for _ in range(200):
+        z, y, x = (int(cell_rng.integers(0, d)) for d in (cz, cy, cx))
+        sc_id = (x // s) + (y // s) * (cx // s) + (z // s) * (cx // s) ** 2
+        lin = ((z % s) * s + (y % s)) * s + (x % s)
+        word = meta[sc_id, 10 + (lin >> 3) // 128, (lin >> 3) % 128]
+        nib = (word >> np.uint32((lin & 7) * 4)) & np.uint32(15)
+        assert int(nib) == int(want[z, y, x]), (z, y, x)
+
+
 def test_paged_matches_oracle_box(box_scene, rng):
     sc, psc = box_scene
     origins, directions = random_rays(rng, 48, [-20, -20, -20],
