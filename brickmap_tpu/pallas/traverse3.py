@@ -347,8 +347,14 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 m = jnp.min(cand)
                 pool_ids.append(m)
                 prev = m
-            pool_ids[0] = jnp.where(pool_ids[0] < DEAD_SC, pool_ids[0],
-                                    page_ids[0] * 4)
+            # Fallback when no lane waits on a brick descend: any in-range
+            # subpage of the voted page (its DMA is wasted bandwidth only).
+            # page_ids[0] is always a clamped real page id here, but guard
+            # the sentinel anyway so pool_ids entries are provably either
+            # valid keys or -1 (ADVICE r2: DEAD_SC*4 would wrap negative).
+            pool_ids[0] = jnp.where(
+                pool_ids[0] < DEAD_SC, pool_ids[0],
+                jnp.where(page_ids[0] < DEAD_SC, page_ids[0] * 4, -1))
             pool_ids = [pool_ids[0]] + [
                 jnp.where(p < DEAD_SC, p, -1) for p in pool_ids[1:]]
 
