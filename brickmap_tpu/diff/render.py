@@ -33,7 +33,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .sparse import _composite_core
+from .sparse import _composite_core, _merge_offsets
 
 __all__ = ["composite_rays", "render_image", "l2_loss_and_grads"]
 
@@ -94,33 +94,10 @@ def composite_rays(origin, direction, occupancy, albedo, background,
     tdabs = jnp.abs(tdelta)
 
     # Closed-form rank merge of the per-axis crossing-time progressions
-    # (same construction as diff.sparse._segment_gidx, over the whole grid).
-    nj = max_steps - 1
-    jmul = jnp.arange(nj, dtype=jnp.float32)[None, :]
-
-    def ap(a):
-        return jnp.where((direction[:, a] != 0.0)[:, None],
-                         tmax[:, a:a + 1] + jmul * tdabs[:, a:a + 1],
-                         jnp.float32(1e6))
-
-    tcr = [ap(a) for a in range(3)]
-
-    def count_before(b, T):
-        db = jnp.where(tdabs[:, b:b + 1] == 0.0, 1.0, tdabs[:, b:b + 1])
-        c = jnp.ceil((T - tmax[:, b:b + 1]) / db).astype(jnp.int32)
-        c = jnp.where((direction[:, b] != 0.0)[:, None], c, 0)
-        return jnp.clip(c, 0, nj)
-
-    ks = jnp.arange(max_steps, dtype=jnp.int32)[None, None, :]
-    offs_ax = []
-    for a in range(3):
-        others = [b for b in range(3) if b != a]
-        rank = (jnp.arange(nj, dtype=jnp.int32)[None, :]
-                + count_before(others[0], tcr[a])
-                + count_before(others[1], tcr[a]))
-        offs_ax.append(jnp.sum(
-            (rank[:, :, None] < ks).astype(jnp.int32), axis=1))
-    offs = jnp.stack(offs_ax, axis=2)                    # [C, V, 3]
+    # (shared with diff.sparse; binary-search form keeps memory at
+    # [C, V] instead of a [C, V-1, V] comparison tensor).
+    offs = _merge_offsets(tmax, tdabs, direction != 0.0,
+                          max_steps - 1, max_steps)      # [C, V, 3]
     pk = pos[:, None, :] + stepv[:, None, :] * offs
     inb = jnp.all((pk >= 0) & (pk < ext[None, None, :]), axis=2) \
         & valid[:, None]

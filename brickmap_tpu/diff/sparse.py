@@ -38,6 +38,71 @@ __all__ = ["cell_pool_map", "pool_fields_from_bitmask", "composite_sparse",
            "l2_loss_and_grads_sparse"]
 
 
+def _merge_offsets(tmax, tdabs, has_axis, nj: int, nvox: int):
+    """Per-axis crossing counts after k merged DDA steps, k = 0..nvox-1.
+
+    The visit sequence of a 3-axis DDA is the 3-way merge of per-axis
+    arithmetic crossing-time progressions t_a(j) = tmax_a + j * tdabs_a.
+    The rank of axis a's j-th crossing is j + sum over other axes b of
+    "crossings of b ordered before it".  Ties are broken z-over-y-over-x —
+    the sequential walk's priority (_sel_axis, voxel.cuh:249) — by counting
+    a tied crossing of b as earlier exactly when b outranks a, so tied
+    crossings get distinct consecutive ranks and the merged walk steps
+    axis-by-axis through lattice-aligned diagonals instead of collapsing
+    them (and double-visiting the diagonal voxel; ADVICE round 2).  "Tied"
+    is tolerance-snapped (crossings within 1e-3 of a crossing period):
+    the quotient (T - tmax_b) / db cannot be FP-exact even for exact
+    geometric ties, and two crossings that close are legitimately ordered
+    by priority either way.
+
+    offs_a[k] = #{j : rank_a(j) < k} is found by a vectorized binary search
+    over j (rank_a is strictly increasing in j): O([C, nvox]) memory and
+    ~log2(nj) closed-form rank evaluations, instead of materializing the
+    [C, nj, nvox] rank-comparison tensor (ADVICE round 2: ~1.2e9 elements
+    per axis at dense-path scale if XLA fails to fuse it).
+
+    Args: tmax [C,3] first-crossing times, tdabs [C,3] per-axis crossing
+    periods (|1/d|), has_axis [C,3] bool (False where d == 0).
+    Returns offs int32 [C, nvox, 3].
+    """
+    c = tmax.shape[0]
+
+    tie = 1e-3  # in crossing-period units
+
+    def count(b, T, inclusive: bool):
+        """#{i >= 0 : t_b(i) < T} (or <= T when ``inclusive``), clipped;
+        integers of r within ``tie`` count as equal-time crossings."""
+        db = jnp.where(tdabs[:, b:b + 1] == 0.0, 1.0, tdabs[:, b:b + 1])
+        r = (T - tmax[:, b:b + 1]) / db
+        # floor(r+tie)+1 == ceil(r-tie) except within the tie window.
+        n = jnp.floor(r + tie).astype(jnp.int32) + 1 if inclusive \
+            else jnp.ceil(r - tie).astype(jnp.int32)
+        n = jnp.where(has_axis[:, b:b + 1], n, 0)
+        return jnp.clip(n, 0, nj)
+
+    ks = jnp.arange(nvox, dtype=jnp.int32)[None, :]
+    offs_ax = []
+    for a in range(3):
+        others = [b for b in range(3) if b != a]
+
+        def rank(j, a=a, others=others):
+            t = tmax[:, a:a + 1] + j.astype(jnp.float32) * tdabs[:, a:a + 1]
+            r = j + count(others[0], t, others[0] > a) \
+                + count(others[1], t, others[1] > a)
+            return jnp.where(has_axis[:, a:a + 1] & (j < nj), r,
+                             jnp.int32(2 ** 30))
+
+        lo = jnp.zeros((c, nvox), jnp.int32)
+        hi = jnp.full((c, nvox), nj, jnp.int32)
+        for _ in range((nj + 1).bit_length()):
+            mid = (lo + hi) >> 1
+            below = rank(mid) < ks
+            lo = jnp.where(below, mid + 1, lo)
+            hi = jnp.where(below, hi, mid)
+        offs_ax.append(lo)
+    return jnp.stack(offs_ax, axis=2)
+
+
 def cell_pool_map(scene, grid: GridConfig) -> np.ndarray:
     """int32 [CZ, CY, CX]: brick cell -> global pool row (-1 where empty)."""
     iv = np.asarray(scene.index_volume)
@@ -111,44 +176,12 @@ def _segment_gidx(oc, dc, cells, nds, ncodes, enorm, cellmap,
         p = jnp.where(pg >= 0, pg % bsz, -((-pg) % bsz))
         tdelta = jnp.abs(rd)
 
-        # The visit sequence is the 3-way merge of per-axis arithmetic
-        # crossing-time progressions.  Ranks are CLOSED-FORM — the j-th
-        # crossing of axis a sits at rank j + sum over other axes of
-        # "crossings strictly earlier" (a floor-division count) — so no
-        # sequential scan (22 HBM round-trips of the chunk per segment)
-        # and no row-sort (a bitonic sort is ~36 such round-trips).
-        # Exact-time ties across axes collapse into one diagonal step,
-        # an FP-measure-zero deviation from the sequential walk's
-        # z-over-y-over-x tie order (accepted; see ADVICE round 1).
-        nj = nvox - 1
-        jmul = jnp.arange(nj, dtype=jnp.float32)[None, :]
-
-        def ap(a):
-            return jnp.where((dc[:, a] != 0.0)[:, None],
-                             tmax[:, a:a + 1] + jmul * tdelta[:, a:a + 1],
-                             jnp.float32(1e6))
-
-        tcr = [ap(a) for a in range(3)]                     # [C, nj] each
-
-        def count_before(b, T):
-            """#{i >= 0 : tmax_b + i*tdelta_b < T}, clipped to nj."""
-            db = jnp.where(tdelta[:, b:b + 1] == 0.0, 1.0,
-                           tdelta[:, b:b + 1])
-            c = jnp.ceil((T - tmax[:, b:b + 1]) / db).astype(jnp.int32)
-            c = jnp.where((dc[:, b] != 0.0)[:, None], c, 0)
-            return jnp.clip(c, 0, nj)
-
-        ks = jnp.arange(nvox, dtype=jnp.int32)[None, None, :]
-        offs_ax = []
-        for a in range(3):
-            others = [b for b in range(3) if b != a]
-            rank = (jnp.arange(nj, dtype=jnp.int32)[None, :]
-                    + count_before(others[0], tcr[a])
-                    + count_before(others[1], tcr[a]))     # [C, nj]
-            # offsets after k merged crossings: #{j : rank_j < k}
-            offs_ax.append(jnp.sum(
-                (rank[:, :, None] < ks).astype(jnp.int32), axis=1))
-        offs = jnp.stack(offs_ax, axis=2)                   # [C, nvox, 3]
+        # 3-way closed-form rank merge of the per-axis crossing
+        # progressions — no sequential scan (22 HBM round-trips of the
+        # chunk per segment) and no row-sort (a bitonic sort is ~36 such
+        # round-trips); exact ties step z-over-y-over-x like the
+        # sequential walk (see _merge_offsets).
+        offs = _merge_offsets(tmax, tdelta, dc != 0.0, nvox - 1, nvox)
         pk = p[:, None, :] + stepv[:, None, :] * offs       # [C, nvox, 3]
         inb = jnp.all((pk >= 0) & (pk < bsz), axis=2)
         mask = valid[:, None] & inb

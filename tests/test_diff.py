@@ -84,6 +84,57 @@ def test_background_compositing():
     np.testing.assert_allclose(float(trans[0]), 1.0)
 
 
+def test_lattice_diagonal_tie_order():
+    """A corner-aligned diagonal ray crosses x and y walls at EXACT ties;
+    the merged walk must visit each voxel once, stepping y-then-x like the
+    sequential DDA (z>y>x tie priority), not collapse/double-visit the
+    diagonal voxel (ADVICE round 2 #1)."""
+    from brickmap_tpu.diff.sparse import _merge_offsets
+
+    s = np.sqrt(0.5, dtype=np.float32)
+    direction = jnp.asarray([[s, s, 0.0]], jnp.float32)
+    # Origin exactly on a voxel corner: every x crossing ties a y crossing.
+    origin = jnp.asarray([[2.0, 3.0, 0.5]], jnp.float32)
+    pos = jnp.floor(origin).astype(jnp.int32)
+    rd = 1.0 / jnp.where(direction == 0, 1.0, direction)
+    cb = jnp.where(direction > 0, pos + 1.0, pos.astype(jnp.float32))
+    tmax = jnp.where(direction != 0.0, (cb - origin) * rd, 1e6)
+    tdabs = jnp.abs(jnp.where(direction == 0.0, 0.0, rd))
+
+    nvox, nj = 9, 8
+    offs = np.asarray(_merge_offsets(tmax, tdabs, direction != 0.0,
+                                     nj, nvox))[0]      # [V, 3]
+    # Each merged step advances exactly ONE axis (no collapsed diagonal,
+    # no repeated offsets), alternating y (priority) then x.
+    steps = np.diff(offs, axis=0)
+    np.testing.assert_array_equal(steps.sum(axis=1), 1)
+    np.testing.assert_array_equal(offs[:, 2], 0)        # z never crossed
+    expect_y = [(k + 1) // 2 for k in range(nvox)]      # y first on each tie
+    expect_x = [k // 2 for k in range(nvox)]
+    np.testing.assert_array_equal(offs[:, 1], expect_y)
+    np.testing.assert_array_equal(offs[:, 0], expect_x)
+
+
+def test_lattice_diagonal_composite_no_double_visit():
+    """Soft occupancy along an exact diagonal: transmittance equals the
+    product over DISTINCT visited voxels (a double visit would square one
+    factor)."""
+    occ = np.full((4, 8, 8), 0.5, np.float32)
+    alb = np.ones((4, 8, 8, 3), np.float32)
+    o = np.asarray([[0.0, 0.0, 0.5]], np.float32)
+    s = np.sqrt(0.5, dtype=np.float32)
+    d = np.asarray([[s, s, 0.0]], np.float32)
+    bg = np.zeros((1, 3), np.float32)
+    rgb, trans, _ = composite_rays(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(occ), jnp.asarray(alb),
+        jnp.asarray(bg), max_steps=64)
+    # Sequential walk: staircase (0,0),(0,1),(1,1),(1,2),... = 15 voxels
+    # inside the 8x8 slab at z=0.
+    expected_voxels = 15
+    np.testing.assert_allclose(float(trans[0]), 0.5 ** expected_voxels,
+                               rtol=1e-4)
+
+
 def test_gradients_finite_difference(rng):
     """Autodiff grads vs central finite differences on a tiny soft grid."""
     occ = rng.uniform(0.1, 0.6, (6, 6, 6)).astype(np.float32)
