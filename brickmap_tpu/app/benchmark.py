@@ -107,6 +107,7 @@ def run_forward_benchmark(scene, cfg: BrickmapConfig, *, waves_per_view: int = 2
             _sync(out[0])
 
         total_rays = 0
+        total_exhausted = 0
         timer.reset()
         t0 = time.perf_counter()
         for i in range(waves_per_view):
@@ -117,6 +118,7 @@ def run_forward_benchmark(scene, cfg: BrickmapConfig, *, waves_per_view: int = 2
             _sync(rgb)
             timer.add(time.perf_counter() - tw)
             total_rays += int(req["traced_rays"])
+            total_exhausted += int(req["exhausted_rays"])
         dt = time.perf_counter() - t0
 
         stats = timer.stats()
@@ -125,12 +127,16 @@ def run_forward_benchmark(scene, cfg: BrickmapConfig, *, waves_per_view: int = 2
             "viewpoint": vi,
             "mrays_per_s": mrays,
             "rays": total_rays,
+            "exhausted": total_exhausted,
             "seconds": dt,
             **stats,
         })
         if verbose:
+            exh = (f"  EXHAUSTED {total_exhausted}"
+                   if total_exhausted else "")
             print(f"view {vi}: {mrays:8.2f} Mrays/s  "
-                  f"avg {stats['avg_ms']:.1f} ms  fps {stats['fps']:.2f}")
+                  f"avg {stats['avg_ms']:.1f} ms  fps {stats['fps']:.2f}"
+                  f"{exh}")
 
     agg_rays = sum(r["rays"] for r in results)
     agg_s = sum(r["seconds"] for r in results)
@@ -138,6 +144,7 @@ def run_forward_benchmark(scene, cfg: BrickmapConfig, *, waves_per_view: int = 2
         "per_view": results,
         "mrays_per_s": agg_rays / agg_s / 1e6,
         "total_rays": agg_rays,
+        "total_exhausted": sum(r["exhausted"] for r in results),
         "total_seconds": agg_s,
         "resolution": [w, h],
         "bounces": cfg.render.max_bounces,

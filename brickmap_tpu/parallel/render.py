@@ -58,33 +58,41 @@ def render_wave_sharded(mesh: Mesh, key, scene, camera_arrays, cam_brick,
                         axis: str = "rays"):
     """One sample wave with pixels sharded across the mesh.
 
-    Pixel i is owned by device i // (N/D); each shard renders its contiguous
-    pixel block with an independent PRNG fold.  Returns the same
-    (rgb [N,3], count [N], requests) as the single-chip path, laid out with the
-    ray axis sharded.
+    Pixel i is owned by device i // ceil(N/D); each shard renders its
+    contiguous pixel block with an independent PRNG fold.  When the pixel
+    count does not divide the device count, the last shard wraps around and
+    re-renders leading pixels (equal shard shapes; the duplicates are
+    discarded before returning, so any resolution works on any mesh).
+    Returns the same (rgb [N,3], count [N], requests) as the single-chip
+    path, laid out with the ray axis sharded.
     """
     n = width * height
     d = mesh.devices.size
-    assert n % d == 0, f"pixels {n} must divide devices {d}"
-    local = n // d
+    local = -(-n // d)
 
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=(P(axis), P(axis),
-                   {"mask": P(axis), "pos": P(axis), "traced_rays": P()}),
+                   {"mask": P(axis), "pos": P(axis), "traced_rays": P(),
+                    "exhausted_rays": P()}),
         check_vma=False,
     )
     def shard_body(key, scene, camera_arrays, cam_brick):
         me = jax.lax.axis_index(axis)
-        idx = me * local + jnp.arange(local, dtype=jnp.int32)
+        idx = (me * local + jnp.arange(local, dtype=jnp.int32)) % n
         k = jax.random.fold_in(key, me)
         rgb, count, req = wave_for_indices(
             k, idx, scene, camera_arrays, cam_brick, cfg, width, height)
-        req = dict(req, traced_rays=jax.lax.psum(req["traced_rays"], axis))
+        req = dict(req, traced_rays=jax.lax.psum(req["traced_rays"], axis),
+                   exhausted_rays=jax.lax.psum(req["exhausted_rays"], axis))
         return rgb, count, req
 
-    return shard_body(key, scene, camera_arrays, cam_brick)
+    rgb, count, req = shard_body(key, scene, camera_arrays, cam_brick)
+    if local * d != n:
+        rgb, count = rgb[:n], count[:n]
+        req = dict(req, mask=req["mask"][:n], pos=req["pos"][:n])
+    return rgb, count, req
 
 
 def inverse_train_step(mesh: Mesh, origin, direction, occupancy, albedo,

