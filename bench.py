@@ -43,33 +43,30 @@ def _load_world(tag: str, cfg, scene_mod):
 
 
 def _paged_for(tag: str, sc, cfg):
-    """Paged tables for the Pallas kernel, disk-cached (bf16 as u16 views)."""
-    import jax
-    import jax.numpy as jnp
-    import ml_dtypes
-
-    from brickmap_tpu.pallas.paged import PagedScene, build_paged_scene
+    """Paged tables for the Pallas kernel: meta/sc_dist disk-cached, poolT
+    expanded ON DEVICE from the compact scene (the 2.1 GB host-built poolT
+    cost 315 s through the remote tunnel in r2; the compact pool rows +
+    loaded-cell addresses are ~12x smaller)."""
+    from brickmap_tpu.pallas.paged import (
+        build_paged_scene, build_paged_scene_device)
 
     base = os.path.join(CACHE, f"paged_{tag}")
     t0 = time.time()
     if os.path.exists(base + "_meta.npy"):
         meta = np.load(base + "_meta.npy")
-        poolT = np.load(base + "_poolT.npy").view(ml_dtypes.bfloat16)
         scd = np.load(base + "_scd.npy")
-        psc = PagedScene(meta=meta, poolT=poolT, sc_dist=scd)
-        print(f"paged tables loaded in {time.time()-t0:.1f}s",
-              file=sys.stderr)
+        print(f"paged meta loaded in {time.time()-t0:.1f}s", file=sys.stderr)
     else:
-        psc = build_paged_scene(sc, cfg.grid)
-        np.save(base + "_meta.npy", np.asarray(psc.meta))
-        np.save(base + "_poolT.npy", np.asarray(psc.poolT).view(np.uint16))
-        np.save(base + "_scd.npy", np.asarray(psc.sc_dist))
-        print(f"paged tables built in {time.time()-t0:.1f}s "
-              f"(poolT {psc.poolT.nbytes/1e6:.0f} MB)", file=sys.stderr)
+        host = build_paged_scene(sc, cfg.grid, include_pool=False)
+        meta, scd = host.meta, host.sc_dist
+        np.save(base + "_meta.npy", np.asarray(meta))
+        np.save(base + "_scd.npy", np.asarray(scd))
+        print(f"paged meta built in {time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
-    dev = jax.tree.map(jnp.asarray, psc)
-    float(np.asarray(dev.sc_dist).ravel()[0])
-    print(f"paged tables uploaded in {time.time()-t0:.1f}s", file=sys.stderr)
+    dev = build_paged_scene_device(sc, cfg.grid, meta=meta, sc_dist=scd)
+    float(np.asarray(dev.poolT[0, 0, :1])[0])
+    print(f"paged tables on device in {time.time()-t0:.1f}s "
+          f"(poolT {dev.poolT.nbytes/1e6:.0f} MB)", file=sys.stderr)
     return dev
 
 
@@ -190,6 +187,7 @@ def main() -> None:
         if sparse_bwd_mrays else None,
         "pallas_brick_mrays_per_s": round(pallas_mrays, 1) if pallas_mrays else None,
         "per_view_mrays": [round(r["mrays_per_s"], 2) for r in fwd["per_view"]],
+        "exhausted_rays": fwd["total_exhausted"],
         "avg_ms": round(sum(r["avg_ms"] for r in fwd["per_view"])
                         / len(fwd["per_view"]), 2),
         "world": tag,

@@ -10,6 +10,8 @@ subcommands:
 * ``inverse`` — inverse-rendering demo: optimize occupancy+albedo to match
   target renders (the new differentiable capability).
 * ``info``    — scene statistics (Scene::dump analog).
+* ``scaling`` — data-parallel scaling-efficiency benchmark over growing
+  device meshes (BASELINE >=80% target; no reference analog).
 
 Run as ``python -m brickmap_tpu <cmd> ...``.
 """
@@ -120,9 +122,9 @@ def cmd_render(args) -> int:
         jsc = mgr.device_paged() if args.engine == "paged" \
             else mgr.device_scene()
     elif args.engine == "paged":
-        from ..pallas.paged import build_paged_scene
+        from ..pallas.paged import build_paged_scene_device
 
-        jsc = jax.tree.map(jnp.asarray, build_paged_scene(sc, cfg.grid))
+        jsc = build_paged_scene_device(sc, cfg.grid)
     else:
         jsc = _to_device(sc)
 
@@ -183,7 +185,8 @@ def cmd_render(args) -> int:
                         else mgr.device_scene()
             metrics.log(wave_idx, wave_s=dt, traced=int(req["traced_rays"]),
                         mrays_s=int(req["traced_rays"]) / dt / 1e6,
-                        uploads=uploads)
+                        uploads=uploads,
+                        exhausted=int(req["exhausted_rays"]))
             if args.verbose:
                 extra = f" uploads {uploads}" if mgr is not None else ""
                 print(f"frame {frame} wave {s}: {dt*1000:.0f} ms{extra}",
@@ -382,6 +385,32 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_scaling(args) -> int:
+    """Data-parallel scaling-efficiency benchmark (BASELINE >=80% target,
+    SURVEY P6-P8): forward waves + sparse inverse steps on growing meshes."""
+    from ..config import BrickmapConfig, GridConfig, RenderConfig
+    from .scaling import init_distributed, run_scaling_benchmark
+
+    if args.distributed:
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
+    cfg = BrickmapConfig(
+        grid=GridConfig(grid_size=args.world, grid_height=args.world_height),
+        render=RenderConfig(width=args.width, height=args.height,
+                            max_bounces=args.bounces,
+                            max_top_steps=args.max_steps),
+    )
+    sc = _build_world(args, cfg)
+    counts = [int(c) for c in args.devices.split(",")] if args.devices \
+        else None
+    out = run_scaling_benchmark(
+        sc, cfg, args.width, args.height, device_counts=counts,
+        waves=args.waves, inverse_rays=args.inverse_rays,
+        skip_inverse=args.skip_inverse)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="brickmap_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -455,6 +484,30 @@ def main(argv=None) -> int:
     pn = sub.add_parser("info", help="scene statistics")
     pn.add_argument("load")
     pn.set_defaults(fn=cmd_info)
+
+    ps = sub.add_parser(
+        "scaling", help="data-parallel scaling-efficiency benchmark "
+        "(BASELINE >=80% target) over 1/2/4/.../D-device meshes")
+    ps.add_argument("--width", type=int, default=512)
+    ps.add_argument("--height", type=int, default=288)
+    ps.add_argument("--bounces", type=int, default=3)
+    ps.add_argument("--world", type=int, default=512)
+    ps.add_argument("--world-height", type=int, default=128)
+    ps.add_argument("--max-steps", type=int, default=512)
+    ps.add_argument("--waves", type=int, default=2)
+    ps.add_argument("--devices", default=None,
+                    help="comma-separated device counts (default 1,2,4,..,D)")
+    ps.add_argument("--inverse-rays", type=int, default=65536)
+    ps.add_argument("--skip-inverse", action="store_true")
+    ps.add_argument("--load", default=None)
+    ps.add_argument("--save-scene", default=None)
+    ps.add_argument("--distributed", action="store_true",
+                    help="call jax.distributed.initialize first (multi-host)")
+    ps.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port for --distributed")
+    ps.add_argument("--num-processes", type=int, default=None)
+    ps.add_argument("--process-id", type=int, default=None)
+    ps.set_defaults(fn=cmd_scaling)
 
     args = p.parse_args(argv)
     try:

@@ -60,7 +60,7 @@ from ..config import (
 
 Array = Any
 
-__all__ = ["PagedScene", "build_paged_scene"]
+__all__ = ["PagedScene", "build_paged_scene", "build_paged_scene_device"]
 
 
 @dataclass(frozen=True)
@@ -95,11 +95,15 @@ def _register_pytree() -> None:
 _register_pytree()
 
 
-def build_paged_scene(scene, grid: GridConfig) -> PagedScene:
+def build_paged_scene(scene, grid: GridConfig,
+                      include_pool: bool = True) -> PagedScene:
     """Expand a :class:`~brickmap_tpu.scene.VoxelScene` into page-major tables.
 
     Pure NumPy; one-time per scene (incremental residency updates go through
     :mod:`brickmap_tpu.stream` device scatters afterwards).
+    ``include_pool=False`` skips the host ``poolT`` expansion (2.1 GB for the
+    full world) for callers that build it on device instead
+    (:func:`build_paged_scene_device`).
     """
     from ..scene import chebyshev_distance_field
 
@@ -154,17 +158,20 @@ def build_paged_scene(scene, grid: GridConfig) -> PagedScene:
                      dist << ((linf & 7) * 4).astype(np.uint32))
     meta[:, 10:14, :] = distrows.reshape(S, 4, 128)
 
-    # Cell-indexed transposed brick payloads as bytes in bf16 (exact).
-    import ml_dtypes
+    poolT = None
+    if include_pool:
+        # Cell-indexed transposed brick payloads as bytes in bf16 (exact).
+        import ml_dtypes
 
-    poolT = np.zeros((S, 4 * cm, pc), ml_dtypes.bfloat16)
-    gslot = (pool_base[scf[loaded]]
-             + (iv.ravel()[loaded] & np.uint32(BRICK_INDEX_BITS))
-             .astype(np.int64))
-    words = pool[gslot]                           # [M, 16] uint32
-    for b in range(4):
-        poolT[scf[loaded], b::4, linf[loaded]] = \
-            ((words >> (8 * b)) & np.uint32(0xFF)).astype(ml_dtypes.bfloat16)
+        poolT = np.zeros((S, 4 * cm, pc), ml_dtypes.bfloat16)
+        gslot = (pool_base[scf[loaded]]
+                 + (iv.ravel()[loaded] & np.uint32(BRICK_INDEX_BITS))
+                 .astype(np.int64))
+        words = pool[gslot]                           # [M, 16] uint32
+        for b in range(4):
+            poolT[scf[loaded], b::4, linf[loaded]] = \
+                ((words >> (8 * b)) & np.uint32(0xFF)).astype(
+                    ml_dtypes.bfloat16)
 
     # Page-level Chebyshev distance (empty-space skipping across superchunks).
     page_occ = occ.reshape(cz, cy, cx).reshape(
@@ -180,3 +187,68 @@ def build_paged_scene(scene, grid: GridConfig) -> PagedScene:
 
     return PagedScene(meta=meta.view(np.int32), poolT=poolT,
                       sc_dist=sc_dist)
+
+
+def _expand_poolT(pool_words, cellid, gslot, s_pages: int, pc: int, cm: int):
+    """Jit body: compact (pool rows, loaded-cell ids) -> [S, 4*cm, pc] bf16.
+
+    Bytes (<= 255) are exact in bf16; column 4k+b of a cell holds byte b
+    (LSB first) of its occupancy word k — the same layout the host builder
+    writes.
+    """
+    import jax.numpy as jnp
+
+    rows = jnp.take(pool_words, gslot, axis=0)        # [M, cm] uint32
+    cols = jnp.stack(
+        [(rows >> jnp.uint32(8 * b)) & jnp.uint32(0xFF) for b in range(4)],
+        axis=2).reshape(rows.shape[0], 4 * cm).astype(jnp.bfloat16)
+    flat = jnp.zeros((s_pages * pc, 4 * cm), jnp.bfloat16)
+    flat = flat.at[cellid].set(cols)
+    return flat.reshape(s_pages, pc, 4 * cm).transpose(0, 2, 1)
+
+
+def build_paged_scene_device(scene, grid: GridConfig,
+                             meta: np.ndarray | None = None,
+                             sc_dist: np.ndarray | None = None) -> PagedScene:
+    """Paged tables as DEVICE arrays, with ``poolT`` expanded on device.
+
+    The full-world ``poolT`` is 2.1 GB and cost 315 s to push through the
+    remote tunnel (BENCH_r02); the information content is only the resident
+    bricks' 64 B payloads plus their cell addresses (~180 MB full world), so
+    upload the compact scene pool + per-loaded-cell (cellid, slot) vectors
+    and expand to the page-major transposed layout with one device program
+    (gather -> byte unpack -> row scatter -> transpose).  ``meta`` /
+    ``sc_dist`` may be passed in from a disk cache; otherwise they are
+    host-built here (32 MB + 16 KB — cheap to upload directly).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if meta is None or sc_dist is None:
+        host = build_paged_scene(scene, grid, include_pool=False)
+        meta, sc_dist = host.meta, host.sc_dist
+
+    s = grid.supergrid_cell_size
+    iv = np.asarray(scene.index_volume)
+    pool_base = np.asarray(scene.pool_base)
+    cz, cy, cx = iv.shape
+    sx = grid.supergrid_xy
+    pc = s ** 3
+    cm = grid.cell_members
+
+    zz, yy, xx = np.meshgrid(np.arange(cz), np.arange(cy), np.arange(cx),
+                             indexing="ij")
+    sc = (xx // s) + (yy // s) * sx + (zz // s) * sx * sx
+    lin = ((zz % s) * s + (yy % s)) * s + (xx % s)
+    loaded = ((iv & np.uint32(BRICK_LOADED_BIT)) != 0).ravel()
+    scf, linf = sc.ravel()[loaded], lin.ravel()[loaded]
+    cellid = (scf.astype(np.int64) * pc + linf).astype(np.int32)
+    gslot = (pool_base[scf]
+             + (iv.ravel()[loaded] & np.uint32(BRICK_INDEX_BITS))
+             .astype(np.int64)).astype(np.int32)
+
+    poolT = jax.jit(_expand_poolT, static_argnames=("s_pages", "pc", "cm"))(
+        jnp.asarray(np.asarray(scene.pool_words)), jnp.asarray(cellid),
+        jnp.asarray(gslot), s_pages=grid.num_superchunks, pc=pc, cm=cm)
+    return PagedScene(meta=jnp.asarray(meta), poolT=poolT,
+                      sc_dist=jnp.asarray(sc_dist))

@@ -178,3 +178,19 @@ def test_paged_budget_exhaustion_flag(box_scene):
         max_page_rounds=1, march_steps=1, phase_iters=1)
     assert bool(np.asarray(res["exhausted"])[0])
     assert not bool(np.asarray(res["hit"])[0])
+
+
+def test_device_paged_build_matches_host(noise_scene):
+    """build_paged_scene_device (compact upload + on-device poolT expansion)
+    must reproduce the host-built tables bit-for-bit."""
+    from brickmap_tpu.pallas.paged import build_paged_scene_device
+
+    sc, psc_host = noise_scene
+    psc_dev = build_paged_scene_device(sc, GRID1)
+    np.testing.assert_array_equal(np.asarray(psc_dev.meta),
+                                  np.asarray(psc_host.meta))
+    np.testing.assert_array_equal(np.asarray(psc_dev.sc_dist),
+                                  np.asarray(psc_host.sc_dist))
+    np.testing.assert_array_equal(
+        np.asarray(psc_dev.poolT).astype(np.float32),
+        np.asarray(psc_host.poolT).astype(np.float32))
