@@ -96,14 +96,14 @@ def _sel_axis(tx, ty, tz):
 def _fetch_bricks_multi(poolT_s, slot, pslot, num_pages: int):
     """Multi-subpage one-hot MXU fetch: 16 uint32 brick words per lane.
 
-    poolT_s: (NPP, 64, 1024) bf16 scratch holding the round's voted pool
-    subpages — byte b of word k in row 4k+b (bytes are exact in bf16;
-    bf16 x bf16 -> f32 is the MXU's native mode).
+    poolT_s: sequence of NPP (64, 1024) bf16 registers holding the round's
+    voted pool subpages — byte b of word k in row 4k+b (bytes are exact in
+    bf16; bf16 x bf16 -> f32 is the MXU's native mode).
     slot: (8, 128) i32 in-subpage cell index; pslot: (8, 128) i32 voted
     subpage slot per lane (one-hot columns are masked per subpage and the
     partial products accumulated — NPP x the single matmul cost, ~1.3 us).
     """
-    ncells = poolT_s.shape[-1]
+    ncells = poolT_s[0].shape[-1]
     cell_iota = jax.lax.broadcasted_iota(jnp.int32, (ncells, 128), 0)
     chunks = []
     for s in range(8):
@@ -304,7 +304,11 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
         NP = pages_per_round
         NPP = pool_fanout
 
-        def round_body(st):
+        def compute_votes(st):
+            """NP page + NPP pool-subpage votes from the current lane state
+            (the round that CONSUMES these runs after one more transit phase,
+            which only moves lanes inside empty pages — their pages are never
+            voted, so early voting changes nothing)."""
             alive = st["alive"] != 0
             sc = page_of(st["px"], st["py"], st["pz"])
             sc_c = jnp.where(alive, sc, DEAD_SC)
@@ -357,26 +361,41 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 jnp.where(page_ids[0] < DEAD_SC, page_ids[0] * 4, -1))
             pool_ids = [pool_ids[0]] + [
                 jnp.where(p < DEAD_SC, p, -1) for p in pool_ids[1:]]
+            return page_ids, pool_ids
 
-            # Page DMAs start now and retire exactly once per round (a second
-            # wait on a DMA semaphore faults the core); the transit phase
-            # below overlaps the copies.
-            copies = []
+        def _copy_descs(page_ids, pool_ids, buf):
+            """The round's DMA descriptors into double buffer ``buf``; the
+            wait side rebuilds identical descriptors from the carried ids."""
+            descs = []
             for k in range(NP):
                 pid = jnp.clip(page_ids[k], 0, meta_hbm.shape[0] - 1)
-                cp = pltpu.make_async_copy(
-                    meta_hbm.at[pid], meta_s.at[k], sem_meta.at[k])
-                cp.start()
-                copies.append(cp)
+                descs.append(pltpu.make_async_copy(
+                    meta_hbm.at[pid], meta_s.at[buf, k], sem_meta.at[k]))
             for k in range(NPP):
                 pid = jnp.clip(pool_ids[k], 0,
                                poolT_hbm.shape[0] * 4 - 1)
-                cpp = pltpu.make_async_copy(
+                descs.append(pltpu.make_async_copy(
                     poolT_hbm.at[pid >> 2, :,
                                  pl.ds((pid & 3) * 1024, 1024)],
-                    poolT_s.at[k], sem_pool.at[k])
-                cpp.start()
-                copies.append(cpp)
+                    poolT_s.at[buf, k], sem_pool.at[k]))
+            return descs
+
+        def start_copies(page_ids, pool_ids, buf):
+            for cp in _copy_descs(page_ids, pool_ids, buf):
+                cp.start()
+
+        def wait_copies(page_ids, pool_ids, buf):
+            for cp in _copy_descs(page_ids, pool_ids, buf):
+                cp.wait()
+
+        def round_body(st):
+            # Round N consumes the copies started at the end of round N-1
+            # (or the pre-loop priming) into buffer rnd & 1; votes + DMAs for
+            # round N+1 issue after this round's phases, overlapping the next
+            # transit + the inter-round loop overhead with the transfers.
+            buf = st["rnd"] & 1
+            page_ids = [st[f"pg{k}"] for k in range(NP)]
+            pool_ids = [st[f"pl{k}"] for k in range(NPP)]
 
             # ---- transit: lanes in empty pages jump the Chebyshev safe box
             # (page-granular ESS; same k arithmetic as ops.traverse).
@@ -447,24 +466,24 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
 
             st = jax.lax.fori_loop(0, transit_iters, transit, st)
 
-            for cp in copies:
-                cp.wait()
+            wait_copies(page_ids, pool_ids, buf)
             # One page's occupancy bits are exactly one 128-word row, so the
             # NP voted pages stack into a single (8,128) register and the
             # per-step test stays ONE arb-gather regardless of NP.
             pad_rows = [jnp.zeros((8 - NP, 128), jnp.int32)] if NP < 8 else []
             occ_tab = jnp.concatenate(
-                [meta_s[k, 0:1, :] for k in range(NP)] + pad_rows, axis=0)
+                [meta_s[buf, k, 0:1, :] for k in range(NP)] + pad_rows,
+                axis=0)
             loaded_tab = jnp.concatenate(
-                [meta_s[k, 1:2, :] for k in range(NP)] + pad_rows, axis=0) \
-                if streaming else occ_tab
-            lod_tab = meta_s[0, 2:10]
+                [meta_s[buf, k, 1:2, :] for k in range(NP)] + pad_rows,
+                axis=0) if streaming else occ_tab
+            lod_tab = meta_s[buf, 0, 2:10]
             # Cell-ESS nibble rows (paged.py rows 10-13), 2 pages per
             # (8,128) register: lane lookup = (pslot & 1)*512 + word index.
             dist_regs = []
             for j in range(0, NP, 2):
-                rows = [meta_s[j, 10:14]]
-                rows.append(meta_s[j + 1, 10:14] if j + 1 < NP
+                rows = [meta_s[buf, j, 10:14]]
+                rows.append(meta_s[buf, j + 1, 10:14] if j + 1 < NP
                             else jnp.zeros((4, 128), i32))
                 dist_regs.append(jnp.concatenate(rows, axis=0))
 
@@ -629,7 +648,7 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                     for k in range(1, NP):
                         lodw = jnp.where(
                             pslot_now == k,
-                            _arb1024(meta_s[k, 2:10], (lin >> 2) & 1023),
+                            _arb1024(meta_s[buf, k, 2:10], (lin >> 2) & 1023),
                             lodw)
                     byte = (lodw >> ((lin & 3) * 8)) & 0xFF
 
@@ -666,7 +685,8 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 def do_brick(st):
                     slot = jnp.where(bb, lin_now & 1023, 0)
                     words = _fetch_bricks_multi(
-                        poolT_s, slot, jnp.where(bb, pslot_b, 0), NPP)
+                        [poolT_s[buf, k] for k in range(NPP)], slot,
+                        jnp.where(bb, pslot_b, 0), NPP)
 
                     def occ_fn(bx, by, bz):
                         l = jnp.clip(bx + by * bsz + bz * bsz * bsz, 0,
@@ -695,9 +715,34 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 return st
 
             st = jax.lax.fori_loop(0, phase_iters, phase, st)
-            return dict(st, rnd=st["rnd"] + 1)
+
+            # Vote + start the NEXT round's DMAs into the other buffer now:
+            # the copies overlap the loop carry and round N+1's transit phase.
+            page_ids_n, pool_ids_n = compute_votes(st)
+            start_copies(page_ids_n, pool_ids_n, 1 - buf)
+            st = dict(st, rnd=st["rnd"] + 1)
+            for k in range(NP):
+                st[f"pg{k}"] = page_ids_n[k]
+            for k in range(NPP):
+                st[f"pl{k}"] = pool_ids_n[k]
+            return st
+
+        # Prime round 0's copies (identical timeline point to the old
+        # vote-at-round-start scheme: post-phase state == pre-transit state).
+        page_ids0, pool_ids0 = compute_votes(st)
+        start_copies(page_ids0, pool_ids0, 0)
+        for k in range(NP):
+            st[f"pg{k}"] = page_ids0[k]
+        for k in range(NPP):
+            st[f"pl{k}"] = pool_ids0[k]
 
         st = jax.lax.while_loop(cond, round_body, st)
+
+        # Drain the in-flight prefetch for the round that never ran — a
+        # signaled-but-unconsumed DMA semaphore would corrupt the next tile's
+        # first wait (scratch + semaphores persist across grid steps).
+        wait_copies([st[f"pg{k}"] for k in range(NP)],
+                    [st[f"pl{k}"] for k in range(NPP)], st["rnd"] & 1)
 
         hit_ref[0] = st["hit"]
         t_ref[0] = st["thit"]
@@ -748,8 +793,10 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
         out_specs=[tile] * 7,
         out_shape=out_sd,
         scratch_shapes=[
-            pltpu.VMEM((pages_per_round, 16, 128), jnp.int32),  # meta pages
-            pltpu.VMEM((pool_fanout, 64, 1024), jnp.bfloat16),  # pool subpages
+            # Leading dim 2: cross-round double buffer (round N's phases read
+            # buf N&1 while round N+1's prefetch fills the other).
+            pltpu.VMEM((2, pages_per_round, 16, 128), jnp.int32),   # meta
+            pltpu.VMEM((2, pool_fanout, 64, 1024), jnp.bfloat16),   # pool
             pltpu.SemaphoreType.DMA((pages_per_round,)),
             pltpu.SemaphoreType.DMA((pool_fanout,)),
         ],
