@@ -60,7 +60,8 @@ from ..config import (
 
 Array = Any
 
-__all__ = ["PagedScene", "build_paged_scene", "build_paged_scene_device"]
+__all__ = ["PagedScene", "build_paged_scene", "build_paged_scene_device",
+           "build_slot_tables"]
 
 
 @dataclass(frozen=True)
@@ -187,6 +188,55 @@ def build_paged_scene(scene, grid: GridConfig,
 
     return PagedScene(meta=meta.view(np.int32), poolT=poolT,
                       sc_dist=sc_dist)
+
+
+def build_slot_tables(scene, grid: GridConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Per-cell pool-slot tables for kernels that need the POOL ROW of a cell
+    (the segment recorder feeding the differentiable replay).
+
+    Returns ``(slotmeta, base_pack)``:
+
+    * ``slotmeta`` int32 [S, 16, 128] — per-cell 12-bit brick slot
+      (index-word bits 11:0, the reference's pointer-table payload,
+      Scene.cpp:239) packed as 16-bit halves, two cells per word
+      (cell ``lin`` lives in word ``lin >> 1``, half ``lin & 1``).
+      Non-loaded cells hold the sentinel 0xFFFF (no pool row).
+    * ``base_pack`` int32 [NR4, 8, 128] — per-page pool base row
+      (``scene.pool_base``), packed 1024 pages per register exactly like
+      ``sc_dist`` so the kernel reuses the same arb-gather.
+
+    Global pool row of a recorded cell = ``base_pack[page] + slot12``.
+    """
+    s = grid.supergrid_cell_size
+    iv = np.asarray(scene.index_volume)
+    pool_base = np.asarray(scene.pool_base)
+    cz, cy, cx = iv.shape
+    sx = grid.supergrid_xy
+    S = grid.num_superchunks
+    pc = s ** 3
+
+    zz, yy, xx = np.meshgrid(np.arange(cz), np.arange(cy), np.arange(cx),
+                             indexing="ij")
+    scf = ((xx // s) + (yy // s) * sx + (zz // s) * sx * sx).ravel()
+    linf = (((zz % s) * s + (yy % s)) * s + (xx % s)).ravel()
+    loaded = ((iv & np.uint32(BRICK_LOADED_BIT)) != 0).ravel()
+    slot16 = np.where(loaded, (iv.ravel() & np.uint32(BRICK_INDEX_BITS)),
+                      np.uint32(0xFFFF)).astype(np.uint32)
+
+    rows = np.full((S, pc // 2), 0xFFFFFFFF, np.uint32)
+    # Clear the target half then OR the slot in (cells default to 0xFFFF).
+    np.bitwise_and.at(rows, (scf, linf >> 1),
+                      ~(np.uint32(0xFFFF) << ((linf & 1) * 16)
+                        .astype(np.uint32)))
+    np.bitwise_or.at(rows, (scf, linf >> 1),
+                     slot16 << ((linf & 1) * 16).astype(np.uint32))
+    slotmeta = rows.reshape(S, 16, 128).view(np.int32)
+
+    base = np.zeros(S, np.int32)
+    base[:len(pool_base)] = pool_base.astype(np.int32)
+    nr4 = -(-S // 1024)
+    base_pack = np.pad(base, (0, nr4 * 1024 - S)).reshape(nr4, 8, 128)
+    return slotmeta, base_pack
 
 
 def _expand_poolT(pool_words, cellid, gslot, s_pages: int, pc: int, cm: int):

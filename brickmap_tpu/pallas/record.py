@@ -40,7 +40,8 @@ __all__ = ["record_segments"]
 
 
 def _make_kernel(grid: GridConfig, *, k_segments: int, max_page_rounds: int,
-                 march_steps: int, transit_iters: int, nr4: int):
+                 march_steps: int, transit_iters: int, nr4: int,
+                 with_slots: bool):
     i32, f32 = jnp.int32, jnp.float32
     s = grid.supergrid_cell_size
     sx_pages = grid.supergrid_xy
@@ -48,10 +49,17 @@ def _make_kernel(grid: GridConfig, *, k_segments: int, max_page_rounds: int,
     cz_max = grid.cells_height
     K = k_segments
 
-    def kernel(scd_ref, meta_hbm,
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
-               cell_ref, nd_ref, ncode_ref, count_ref, exh_ref,
-               meta_s, sem_meta):
+    def kernel(*refs):
+        if with_slots:
+            (scd_ref, base_ref, meta_hbm, slotmeta_hbm,
+             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
+             cell_ref, nd_ref, ncode_ref, slot_ref, count_ref, exh_ref,
+             meta_s, slotm_s, sem_meta, sem_slot) = refs
+        else:
+            (scd_ref, meta_hbm,
+             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
+             cell_ref, nd_ref, ncode_ref, count_ref, exh_ref,
+             meta_s, sem_meta) = refs
         scd = scd_ref[:]
         ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
         dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
@@ -87,6 +95,7 @@ def _make_kernel(grid: GridConfig, *, k_segments: int, max_page_rounds: int,
             count=zero_i,
             segs=tuple((jnp.full((8, 128), -1, i32),
                         jnp.zeros((8, 128), f32),
+                        jnp.full((8, 128), -1, i32),
                         jnp.full((8, 128), -1, i32)) for _ in range(K)),
         )
 
@@ -131,6 +140,12 @@ def _make_kernel(grid: GridConfig, *, k_segments: int, max_page_rounds: int,
             cp_meta = pltpu.make_async_copy(meta_hbm.at[page], meta_s,
                                             sem_meta)
             cp_meta.start()
+            if with_slots:
+                cp_slot = pltpu.make_async_copy(slotmeta_hbm.at[page],
+                                                slotm_s, sem_slot)
+                cp_slot.start()
+                base_page = _gather_scdist(
+                    base_ref[:], jnp.full((8, 128), page, i32))
 
             def transit(_, st):
                 alive = st["alive"] != 0
@@ -198,6 +213,8 @@ def _make_kernel(grid: GridConfig, *, k_segments: int, max_page_rounds: int,
             st = jax.lax.fori_loop(0, transit_iters, transit, st)
 
             cp_meta.wait()
+            if with_slots:
+                cp_slot.wait()
             occ_row = _bcast_row(meta_s[0])
             # Cell-ESS nibbles (paged.py rows 10-13): d>=2 lets empty-cell
             # steps jump the L-inf (d-1) box instead of one cell.
@@ -228,17 +245,29 @@ def _make_kernel(grid: GridConfig, *, k_segments: int, max_page_rounds: int,
                                   jnp.where(axis0 == 1, tdy, tdz))
                 nd_new = jnp.where(entered, t_ax - td_ax, 0.0)
 
-                # Append (cell, nd, ncode) into slot `count` for hit lanes.
+                # Append (cell, nd, ncode[, pool slot]) into seg `count`.
                 pack = px | (py << 10) | (pz << 20)
+                if with_slots:
+                    # Global pool row: page base + the cell's 12-bit slot
+                    # (16-bit halves in slotm_s; 0xFFFF = not loaded).
+                    hw = lin >> 1
+                    s16 = jnp.where(
+                        hw < 1024, _arb1024(slotm_s[0:8], hw & 1023),
+                        _arb1024(slotm_s[8:16], hw & 1023))
+                    s16 = (s16 >> ((lin & 1) * 16)) & 0xFFFF
+                    gslot = jnp.where(s16 == 0xFFFF, -1, base_page + s16)
+                else:
+                    gslot = jnp.full((8, 128), -1, i32)
                 segs = []
                 for kk in range(K):
-                    c_k, n_k, a_k = st["segs"][kk]
+                    c_k, n_k, a_k, s_k = st["segs"][kk]
                     write = occ0 & (st["count"] == kk)
                     segs.append((
                         jnp.where(write, pack, c_k),
                         jnp.where(write, nd_new, n_k),
                         jnp.where(write, jnp.where(entered, axis0, -1),
-                                  a_k)))
+                                  a_k),
+                        jnp.where(write, gslot, s_k)))
                 count = st["count"] + occ0.astype(i32)
 
                 # Step every marching lane (recording does not stop the ray).
@@ -300,10 +329,12 @@ def _make_kernel(grid: GridConfig, *, k_segments: int, max_page_rounds: int,
         st = jax.lax.while_loop(cond, round_body, st)
 
         for kk in range(K):
-            c_k, n_k, a_k = st["segs"][kk]
+            c_k, n_k, a_k, s_k = st["segs"][kk]
             cell_ref[0, kk] = c_k
             nd_ref[0, kk] = n_k
             ncode_ref[0, kk] = a_k
+            if with_slots:
+                slot_ref[0, kk] = s_k
         count_ref[0] = st["count"]
         exh_ref[0] = st["alive"]
 
@@ -312,17 +343,29 @@ def _make_kernel(grid: GridConfig, *, k_segments: int, max_page_rounds: int,
 
 @partial(jax.jit,
          static_argnames=("grid", "k_segments", "max_page_rounds",
-                          "march_steps", "transit_iters", "interpret"))
+                          "march_steps", "transit_iters", "interpret",
+                          "tiled"))
 def record_segments(origin, direction, pscene, grid: GridConfig,
                     k_segments: int = 16, max_page_rounds: int = 96,
                     march_steps: int = 48, transit_iters: int = 2,
-                    interpret: bool = False):
+                    interpret: bool = False, slot_tables=None,
+                    tiled: bool = False):
     """Record each ray's first ``k_segments`` occupied cells, front-to-back.
 
     Returns dict(cells [N,K] i32 packed x|y<<10|z<<20 (-1 = unused),
     nd [N,K] f32 entry distance in cell units (pre-clip), ncode [N,K] i32
     entry-face axis (-1 = ray origin inside the cell / entry face),
     count [N] i32, tminn [N] f32, entry_normal [N,3], exhausted [N] bool).
+
+    With ``slot_tables`` (the ``(slotmeta, base_pack)`` pair from
+    :func:`brickmap_tpu.pallas.paged.build_slot_tables`) the dict also
+    carries ``slot`` [N,K] i32: each segment's GLOBAL pool row (-1 for
+    unused segments or non-loaded cells) — the fused differentiable replay
+    (:mod:`brickmap_tpu.pallas.replay`) pages its field by ``slot // 32``
+    and would otherwise need a 16M-descriptor XLA gather per frame.
+    ``tiled=True`` returns per-segment arrays in the kernel's native
+    [T, K, 8, 128] layout (and count/exhausted as [T, 8, 128]) so a
+    downstream Pallas consumer avoids the unpad/repad round trip.
     """
     n = origin.shape[0]
     ok, tminn, clipped, entry_normal = aabb_clip(origin, direction, grid)
@@ -345,38 +388,63 @@ def record_segments(origin, direction, pscene, grid: GridConfig,
         act = jnp.concatenate([act, jnp.zeros((pad,), jnp.int32)])
     comps.append(act.reshape(t_tiles, 8, 128))
 
+    with_slots = slot_tables is not None
     kernel = _make_kernel(grid, k_segments=k_segments,
                           max_page_rounds=max_page_rounds,
                           march_steps=march_steps,
                           transit_iters=transit_iters,
-                          nr4=pscene.sc_dist.shape[0])
+                          nr4=pscene.sc_dist.shape[0],
+                          with_slots=with_slots)
     tile = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     ktile = pl.BlockSpec((1, k_segments, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     K = k_segments
-    out_sd = [
-        jax.ShapeDtypeStruct((t_tiles, K, 8, 128), jnp.int32),
-        jax.ShapeDtypeStruct((t_tiles, K, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((t_tiles, K, 8, 128), jnp.int32),
-        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),
-        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),
-    ]
-    cells, nd, ncode, count, exh = pl.pallas_call(
+    kt_i32 = jax.ShapeDtypeStruct((t_tiles, K, 8, 128), jnp.int32)
+    kt_f32 = jax.ShapeDtypeStruct((t_tiles, K, 8, 128), jnp.float32)
+    t_i32 = jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32)
+    out_sd = [kt_i32, kt_f32, kt_i32] \
+        + ([kt_i32] if with_slots else []) + [t_i32, t_i32]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]      # sc_dist
+    inputs = [pscene.sc_dist]
+    if with_slots:
+        slotmeta, base_pack = slot_tables
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # base_pack
+        inputs.append(base_pack)
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))      # meta (HBM)
+    inputs.append(pscene.meta)
+    if with_slots:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # slotmeta (HBM)
+        inputs.append(slotmeta)
+    scratch = [pltpu.VMEM((16, 128), jnp.int32)]
+    if with_slots:
+        scratch.append(pltpu.VMEM((16, 128), jnp.int32))
+    scratch.append(pltpu.SemaphoreType.DMA(()))
+    if with_slots:
+        scratch.append(pltpu.SemaphoreType.DMA(()))
+    outs = pl.pallas_call(
         kernel,
         grid=(t_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # sc_dist
-            pl.BlockSpec(memory_space=pl.ANY),       # meta (HBM)
-        ] + [tile] * 7,
-        out_specs=[ktile, ktile, ktile, tile, tile],
+        in_specs=in_specs + [tile] * 7,
+        out_specs=[ktile, ktile, ktile]
+        + ([ktile] if with_slots else []) + [tile, tile],
         out_shape=out_sd,
-        scratch_shapes=[
-            pltpu.VMEM((16, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(pscene.sc_dist, pscene.meta, *comps)
+    )(*inputs, *comps)
+    if with_slots:
+        cells, nd, ncode, slot, count, exh = outs
+    else:
+        cells, nd, ncode, count, exh = outs
+        slot = None
+
+    if tiled:
+        out = dict(cells=cells, nd=nd, ncode=ncode, count=count,
+                   tminn=tminn, entry_normal=entry_normal, o_cells=o_cells,
+                   exhausted=exh)
+        if with_slots:
+            out["slot"] = slot
+        return out
 
     def unpad_k(a):
         return a.transpose(0, 2, 3, 1).reshape(-1, K)[:n]
@@ -384,7 +452,7 @@ def record_segments(origin, direction, pscene, grid: GridConfig,
     def unpad(a):
         return a.reshape(-1)[:n]
 
-    return dict(
+    out = dict(
         cells=unpad_k(cells),
         nd=unpad_k(nd),
         ncode=unpad_k(ncode),
@@ -394,3 +462,6 @@ def record_segments(origin, direction, pscene, grid: GridConfig,
         o_cells=o_cells,
         exhausted=unpad(exh) != 0,
     )
+    if with_slots:
+        out["slot"] = unpad_k(slot)
+    return out
