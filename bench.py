@@ -7,11 +7,15 @@ over the reference's 9 scripted viewpoints on the simplex-terrain world
 performance_measure.h:4-25).  The traversal is the hierarchical Pallas
 kernel over the paged scene (brickmap_tpu/pallas/traverse3.py).
 
-Default workload is the full 4096^2x512 world; --small switches to the
-1024-world (faster prep) at the same resolution.  If full-world preparation
-fails (memory/time), the small world is used and tagged in the output.
-
-Extra fields: fwd+bwd differentiable-render throughput and per-view stats.
+Hang-proofing (the reference's scripted fly-through must ALWAYS produce a
+number, performance_measure.cpp:65-104): every stage that touches the TPU
+runs in a SUBPROCESS with its own timeout — a transient tunnel/worker wedge
+(observed: BENCH_r03 stalled in scene prep with no result) kills only that
+attempt, and the next attempt gets a fresh worker.  The forward bench gets
+one retry on the full world, then falls back to the small world, then to
+the XLA traversal; a preliminary JSON line is printed the moment the
+forward number exists so even a later hard kill leaves a parsed result.
+Heartbeats go to stderr (flushed) at every stage boundary.
 """
 
 from __future__ import annotations
@@ -19,26 +23,100 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
+# Global wall budget for the whole bench (stages are clamped to what is
+# left).  The seeded persistent compile cache makes warm full-world runs
+# ~18 min; cold compiles push the first attempt toward the stage cap.
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 5400))
+_T0 = time.time()
 
+
+def _hb(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _remaining() -> float:
+    return TOTAL_BUDGET_S - (time.time() - _T0)
+
+
+def _enable_compile_cache(jax) -> None:
+    """Persistent executable cache: later runs (and the driver's) skip the
+    minutes-long remote compiles.  Verified working on the axon backend —
+    .bench_cache/xla accumulated bounce/primary/shadow executables once a
+    full run completed (round 4 note in notes/PERF.md)."""
+    try:
+        os.makedirs(os.path.join(CACHE, "xla"), exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(CACHE, "xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Subprocess plumbing
+# ---------------------------------------------------------------------------
+
+def _run_stage(argv: list[str], timeout: float, label: str):
+    """Run ``python bench.py <argv>`` as a subprocess; parse the final
+    ``STAGE_RESULT {json}`` stdout line.  stderr is inherited (live
+    heartbeats).  Returns the parsed payload or None."""
+    timeout = min(timeout, max(_remaining(), 60.0))
+    _hb(f"stage {label}: starting (timeout {timeout:.0f}s)")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + argv,
+            stdout=subprocess.PIPE, stderr=None, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("STAGE_RESULT "):
+                _hb(f"stage {label}: ok")
+                return json.loads(line[len("STAGE_RESULT "):])
+        _hb(f"stage {label}: no result (rc={proc.returncode}); "
+            f"stdout tail: {proc.stdout[-500:]!r}")
+    except subprocess.TimeoutExpired:
+        _hb(f"stage {label}: TIMED OUT after {timeout:.0f}s (worker wedge?)")
+    except Exception as e:
+        _hb(f"stage {label}: failed: {e}")
+    return None
+
+
+def _probe_tunnel() -> bool:
+    """One tiny device round-trip in a subprocess: absorbs a wedged worker
+    before the expensive stage pays for it."""
+    code = ("import jax, numpy as np, jax.numpy as jnp;"
+            "print(float(np.asarray(jnp.ones(8).sum())))")
+    for attempt in range(2):
+        try:
+            subprocess.run([sys.executable, "-c", code], timeout=240,
+                           check=True, stdout=subprocess.DEVNULL)
+            _hb("tunnel probe ok")
+            return True
+        except Exception as e:
+            _hb(f"tunnel probe attempt {attempt}: {e}")
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Forward-bench stage (runs inside the subprocess)
+# ---------------------------------------------------------------------------
 
 def _load_world(tag: str, cfg, scene_mod):
     cache_path = os.path.join(CACHE, f"scene_{tag}.npz")
     t0 = time.time()
     if os.path.exists(cache_path):
         sc = scene_mod.load_scene(cache_path)
-        print(f"scene loaded from cache in {time.time()-t0:.1f}s",
-              file=sys.stderr)
+        _hb(f"scene loaded from cache in {time.time()-t0:.1f}s")
     else:
         sc = scene_mod.generate_terrain_scene(cfg.grid)
         scene_mod.save_scene(cache_path, sc)
-        print(f"scene generated in {time.time()-t0:.1f}s", file=sys.stderr)
+        _hb(f"scene generated in {time.time()-t0:.1f}s")
     return sc
 
 
@@ -47,6 +125,8 @@ def _paged_for(tag: str, sc, cfg):
     expanded ON DEVICE from the compact scene (the 2.1 GB host-built poolT
     cost 315 s through the remote tunnel in r2; the compact pool rows +
     loaded-cell addresses are ~12x smaller)."""
+    import numpy as np
+
     from brickmap_tpu.pallas.paged import (
         build_paged_scene, build_paged_scene_device)
 
@@ -55,169 +135,110 @@ def _paged_for(tag: str, sc, cfg):
     if os.path.exists(base + "_meta.npy"):
         meta = np.load(base + "_meta.npy")
         scd = np.load(base + "_scd.npy")
-        print(f"paged meta loaded in {time.time()-t0:.1f}s", file=sys.stderr)
+        _hb(f"paged meta loaded in {time.time()-t0:.1f}s")
     else:
         host = build_paged_scene(sc, cfg.grid, include_pool=False)
         meta, scd = host.meta, host.sc_dist
         np.save(base + "_meta.npy", np.asarray(meta))
         np.save(base + "_scd.npy", np.asarray(scd))
-        print(f"paged meta built in {time.time()-t0:.1f}s", file=sys.stderr)
+        _hb(f"paged meta built in {time.time()-t0:.1f}s")
     t0 = time.time()
     dev = build_paged_scene_device(sc, cfg.grid, meta=meta, sc_dist=scd)
     float(np.asarray(dev.poolT[0, 0, :1])[0])
-    print(f"paged tables on device in {time.time()-t0:.1f}s "
-          f"(poolT {dev.poolT.nbytes/1e6:.0f} MB)", file=sys.stderr)
+    _hb(f"paged tables on device in {time.time()-t0:.1f}s "
+        f"(poolT {dev.poolT.nbytes/1e6:.0f} MB)")
     return dev
 
 
-AUX = {}
+def _render_cfg():
+    from brickmap_tpu.config import RenderConfig
+
+    return RenderConfig(width=1920, height=1080, max_bounces=3,
+                        max_top_steps=2048, paged_rounds=192)
 
 
-def _run_aux(name: str, timeout: float = 1800.0):
-    """Run one aux bench as ``python bench.py --aux <name>`` and parse the
-    final ``AUX_RESULT <float>`` line (None on any failure)."""
-    import subprocess
-
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--aux", name],
-            capture_output=True, text=True, timeout=timeout,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        sys.stderr.write(proc.stderr[-2000:])
-        for line in reversed(proc.stdout.splitlines()):
-            if line.startswith("AUX_RESULT "):
-                return float(line.split()[1])
-        print(f"aux bench {name} produced no result (rc={proc.returncode})",
-              file=sys.stderr)
-    except Exception as e:
-        print(f"aux bench {name} failed: {e}", file=sys.stderr)
-    return None
-
-
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--small", action="store_true",
-                    help="1024^2x256 world instead of the full 4096^2x512")
-    ap.add_argument("--full", action="store_true", help=argparse.SUPPRESS)
-    ap.add_argument("--waves", type=int, default=1)
-    ap.add_argument("--skip-bwd", action="store_true")
-    ap.add_argument("--xla-path", action="store_true",
-                    help="benchmark the XLA lockstep traversal instead of "
-                         "the Pallas kernel")
-    ap.add_argument("--aux", choices=sorted(AUX), help=argparse.SUPPRESS)
-    args = ap.parse_args()
-
-    if args.aux:
-        _aux_main(args.aux)
-        return
+def _fwd_stage_main(tag: str, xla: bool, waves: int) -> None:
+    """Subprocess entry: scene prep + 9-viewpoint forward bench.  Prints
+    heartbeats to stderr and ``STAGE_RESULT {json}`` to stdout."""
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr          # all library prints become heartbeats
 
     import jax
 
-    # Persistent compilation cache: later bench runs (and the driver's) reuse
-    # compiled executables when supported by the backend.
-    try:
-        os.makedirs(os.path.join(CACHE, "xla"), exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(CACHE, "xla"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    _enable_compile_cache(jax)
     import jax.numpy as jnp
 
     from brickmap_tpu import scene as scene_mod
     from brickmap_tpu.app.benchmark import run_forward_benchmark
-    from brickmap_tpu.config import BrickmapConfig, GridConfig, RenderConfig
+    from brickmap_tpu.config import BrickmapConfig, GridConfig
 
     os.makedirs(CACHE, exist_ok=True)
-    render = RenderConfig(width=1920, height=1080, max_bounces=3,
-                          max_top_steps=2048, paged_rounds=192)
-
-    def prep(tag):
-        if tag == "small":
-            cfg = BrickmapConfig(
-                grid=GridConfig(grid_size=1024, grid_height=256),
-                render=render)
-            scale = 1024.0 / 4096.0
-        else:
-            cfg = BrickmapConfig(grid=GridConfig(), render=render)
-            scale = 1.0
-        sc = _load_world(tag, cfg, scene_mod)
-        if args.xla_path:
-            scene = scene_mod.VoxelScene(
-                index_volume=jnp.asarray(sc.index_volume),
-                pool_words=jnp.asarray(sc.pool_words),
-                pool_base=jnp.asarray(sc.pool_base),
-                block_words=jnp.asarray(sc.block_words))
-        else:
-            scene = _paged_for(tag, sc, cfg)
-        return cfg, scene, scale
-
-    tag = "small" if args.small else "full"
-    try:
-        cfg, scene, scale = prep(tag)
-    except Exception as e:
-        print(f"{tag}-world prep failed ({e}); falling back to small",
-              file=sys.stderr)
-        tag = "small"
-        cfg, scene, scale = prep(tag)
-
-    fwd = run_forward_benchmark(scene, cfg, waves_per_view=args.waves,
+    if tag == "small":
+        cfg = BrickmapConfig(grid=GridConfig(grid_size=1024, grid_height=256),
+                             render=_render_cfg())
+        scale = 1024.0 / 4096.0
+    else:
+        cfg = BrickmapConfig(grid=GridConfig(), render=_render_cfg())
+        scale = 1.0
+    sc = _load_world(tag, cfg, scene_mod)
+    if xla:
+        scene = scene_mod.VoxelScene(
+            index_volume=jnp.asarray(sc.index_volume),
+            pool_words=jnp.asarray(sc.pool_words),
+            pool_base=jnp.asarray(sc.pool_base),
+            block_words=jnp.asarray(sc.block_words))
+    else:
+        scene = _paged_for(tag, sc, cfg)
+    _hb("forward benchmark: starting")
+    fwd = run_forward_benchmark(scene, cfg, waves_per_view=waves,
                                 scale=scale, verbose=True)
-
-    # Aux benches run in SUBPROCESSES: a TPU worker crash (transient tunnel
-    # faults happen) then cannot poison this process or the other benches —
-    # each subprocess gets a fresh worker and the persistent compile cache.
-    pallas_mrays = _run_aux("brick")
-    fwd_bwd_mrays = None
-    sparse_bwd_mrays = None
-    if not args.skip_bwd:
-        fwd_bwd_mrays = _run_aux("bwd")
-        sparse_bwd_mrays = _run_aux("sparse-bwd")
-
-    result = {
-        "metric": "Mrays/s/chip fwd path tracing "
-                  f"{cfg.render.width}x{cfg.render.height} "
-                  f"{cfg.render.max_bounces}b, 9-viewpoint avg, "
-                  f"{tag} world",
-        "value": round(fwd["mrays_per_s"], 3),
-        "unit": "Mrays/s",
-        "vs_baseline": None,  # reference publishes no numbers (BASELINE.md)
-        "fwd_bwd_mrays_per_s": round(fwd_bwd_mrays, 3) if fwd_bwd_mrays else None,
-        "sparse_fwd_bwd_mrays_per_s": round(sparse_bwd_mrays, 3)
-        if sparse_bwd_mrays else None,
-        "pallas_brick_mrays_per_s": round(pallas_mrays, 1) if pallas_mrays else None,
-        "per_view_mrays": [round(r["mrays_per_s"], 2) for r in fwd["per_view"]],
+    payload = {
+        "mrays_per_s": fwd["mrays_per_s"],
+        "per_view_mrays": [round(r["mrays_per_s"], 2)
+                           for r in fwd["per_view"]],
         "exhausted_rays": fwd["total_exhausted"],
         "avg_ms": round(sum(r["avg_ms"] for r in fwd["per_view"])
                         / len(fwd["per_view"]), 2),
-        "world": tag,
-        "traversal": "xla" if args.xla_path else "pallas_paged",
+        "width": cfg.render.width, "height": cfg.render.height,
+        "bounces": cfg.render.max_bounces,
+        "world": tag, "traversal": "xla" if xla else "pallas_paged",
     }
-    print(json.dumps(result))
+    print("STAGE_RESULT " + json.dumps(payload), file=real_stdout, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Aux benches (each in its own subprocess; see _aux_main)
+# ---------------------------------------------------------------------------
+
+AUX = {}
+
+
+def _run_aux(name: str, timeout: float = 1200.0):
+    payload = _run_stage(["--aux", name], timeout, f"aux:{name}")
+    return payload["value"] if payload else None
 
 
 def _aux_main(name: str) -> None:
-    """Subprocess entry for one aux bench: prints ``AUX_RESULT <float>``."""
+    """Subprocess entry for one aux bench."""
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+
     import jax
 
-    try:
-        os.makedirs(os.path.join(CACHE, "xla"), exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(CACHE, "xla"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    _enable_compile_cache(jax)
     from brickmap_tpu.config import BrickmapConfig, GridConfig, RenderConfig
 
     cfg = BrickmapConfig(
         grid=GridConfig(),
         render=RenderConfig(width=1920, height=1080, max_bounces=3))
-    print(f"AUX_RESULT {AUX[name](cfg)}")
+    print("STAGE_RESULT " + json.dumps({"value": AUX[name](cfg)}),
+          file=real_stdout, flush=True)
 
 
 def _bwd_bench(cfg):
     """fwd+bwd differentiable render throughput over a 64^3 dense grid at the
     benchmark resolution (config-5 style gradients)."""
+    import numpy as np
     import jax.numpy as jnp
 
     from brickmap_tpu.diff.render import l2_loss_and_grads
@@ -247,7 +268,12 @@ def _bwd_bench(cfg):
 
 def _sparse_bwd_bench(cfg):
     """fwd+bwd over the SPARSE brick pool at benchmark resolution: Pallas
-    segment recording + bounded-K replay gradients (diff/sparse.py)."""
+    segment recording + bounded-K replay gradients (diff/sparse.py).
+
+    Runs on the 1024^2x256 SMALL world (the full-world paged scene plus the
+    [P,512]x4 field + gradient accumulators would contend for HBM); the
+    result JSON tags this workload explicitly."""
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
@@ -298,6 +324,7 @@ def _sparse_bwd_bench(cfg):
 def _pallas_brick_bench():
     """Config-1 class microbenchmark: the fused Pallas 8^3 brick-DDA kernel
     (the register-resident architecture the hierarchical kernel builds on)."""
+    import numpy as np
     import jax.numpy as jnp
 
     from brickmap_tpu import bits
@@ -333,6 +360,112 @@ AUX.update({
     "sparse-bwd": _sparse_bwd_bench,
     "brick": lambda cfg: _pallas_brick_bench(),
 })
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator
+# ---------------------------------------------------------------------------
+
+def _result_json(fwd, extras):
+    if fwd is None:
+        fwd = {"mrays_per_s": None, "per_view_mrays": [],
+               "exhausted_rays": None, "avg_ms": None, "width": 1920,
+               "height": 1080, "bounces": 3, "world": "none",
+               "traversal": "none"}
+    return {
+        "metric": "Mrays/s/chip fwd path tracing "
+                  f"{fwd['width']}x{fwd['height']} {fwd['bounces']}b, "
+                  f"9-viewpoint avg, {fwd['world']} world",
+        "value": round(fwd["mrays_per_s"], 3) if fwd["mrays_per_s"] else None,
+        "unit": "Mrays/s",
+        "vs_baseline": None,  # reference publishes no numbers (BASELINE.md)
+        "per_view_mrays": fwd["per_view_mrays"],
+        "exhausted_rays": fwd["exhausted_rays"],
+        "avg_ms": fwd["avg_ms"],
+        "world": fwd["world"],
+        "traversal": fwd["traversal"],
+        **extras,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="1024^2x256 world instead of the full 4096^2x512")
+    ap.add_argument("--waves", type=int, default=1)
+    ap.add_argument("--skip-bwd", action="store_true")
+    ap.add_argument("--xla-path", action="store_true",
+                    help="benchmark the XLA lockstep traversal instead of "
+                         "the Pallas kernel")
+    ap.add_argument("--stage", choices=["fwd"], help=argparse.SUPPRESS)
+    ap.add_argument("--tag", default="full", help=argparse.SUPPRESS)
+    ap.add_argument("--aux", choices=sorted(AUX), help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.aux:
+        _aux_main(args.aux)
+        return
+    if args.stage == "fwd":
+        _fwd_stage_main(args.tag, args.xla_path, args.waves)
+        return
+
+    os.makedirs(CACHE, exist_ok=True)
+    _probe_tunnel()
+
+    # Attempt chain: full (retry once) -> small -> small+XLA.  Any attempt
+    # that wedges costs only its own timeout; the compile cache carries work
+    # done in a timed-out attempt into the retry.
+    w = [f"--waves={args.waves}"]
+    if args.small:
+        attempts = [(["--stage", "fwd", "--tag", "small"] + w, 1500, "small"),
+                    (["--stage", "fwd", "--tag", "small"] + w, 1200,
+                     "small-retry")]
+    elif args.xla_path:
+        attempts = [(["--stage", "fwd", "--tag", "full", "--xla-path"] + w,
+                     2400, "full-xla")]
+    else:
+        attempts = [
+            (["--stage", "fwd", "--tag", "full"] + w, 2700, "full"),
+            (["--stage", "fwd", "--tag", "full"] + w, 1800, "full-retry"),
+            (["--stage", "fwd", "--tag", "small"] + w, 1200, "small-fb"),
+            (["--stage", "fwd", "--tag", "small", "--xla-path"] + w, 900,
+             "xla-fb"),
+        ]
+    fwd = None
+    for argv, timeout, label in attempts:
+        if _remaining() < 120:
+            _hb("budget exhausted before forward bench completed")
+            break
+        fwd = _run_stage(argv, timeout, label)
+        if fwd is not None:
+            break
+
+    # The headline exists: print it NOW so a later kill cannot erase it.
+    prelim = _result_json(fwd, {
+        "fwd_bwd_mrays_per_s": None, "sparse_fwd_bwd_mrays_per_s": None,
+        "sparse_bwd_world": "small", "pallas_brick_mrays_per_s": None})
+    print(json.dumps(prelim), flush=True)
+
+    pallas_mrays = _run_aux("brick", timeout=900) \
+        if _remaining() > 300 else None
+    fwd_bwd = None
+    sparse_bwd = None
+    if not args.skip_bwd:
+        if _remaining() > 300:
+            fwd_bwd = _run_aux("bwd", timeout=1200)
+        if _remaining() > 300:
+            sparse_bwd = _run_aux("sparse-bwd", timeout=1200)
+
+    final = _result_json(fwd, {
+        "fwd_bwd_mrays_per_s": round(fwd_bwd, 3) if fwd_bwd else None,
+        # Measured on the 1024^2x256 world (see _sparse_bwd_bench).
+        "sparse_fwd_bwd_mrays_per_s": round(sparse_bwd, 3)
+        if sparse_bwd else None,
+        "sparse_bwd_world": "small",
+        "pallas_brick_mrays_per_s": round(pallas_mrays, 1)
+        if pallas_mrays else None,
+    })
+    print(json.dumps(final), flush=True)
 
 
 if __name__ == "__main__":

@@ -87,9 +87,16 @@ def benchmark_cameras(scale: float = 1.0):
 
 def run_forward_benchmark(scene, cfg: BrickmapConfig, *, waves_per_view: int = 2,
                           warmup_waves: int = 1, scale: float = 1.0,
-                          verbose: bool = True) -> dict:
+                          verbose: bool = True,
+                          strict_exhausted: bool = True) -> dict:
     """Path-trace each viewpoint for `waves_per_view` sample waves; return
-    per-viewpoint and aggregate Mrays/s + frame-time stats."""
+    per-viewpoint and aggregate Mrays/s + frame-time stats.
+
+    ``strict_exhausted`` (default): FAIL if any timed ray was truncated by a
+    traversal budget — a benchmark that drops rays both biases the image and
+    flatters the timing (every reference ray terminates with a defined
+    result, voxel.cuh:135-261; the rescue pass in render.pathtrace is
+    expected to keep this at zero)."""
     w, h = cfg.render.width, cfg.render.height
     sun_dir = ss.sun_direction_from_position(jnp.asarray(SUN_POSITION))
     results = []
@@ -140,6 +147,12 @@ def run_forward_benchmark(scene, cfg: BrickmapConfig, *, waves_per_view: int = 2
 
     agg_rays = sum(r["rays"] for r in results)
     agg_s = sum(r["seconds"] for r in results)
+    total_exh = sum(r["exhausted"] for r in results)
+    if strict_exhausted and total_exh:
+        raise RuntimeError(
+            f"benchmark invalid: {total_exh} rays exhausted their traversal "
+            "budget (the rescue pass should have re-traced them; see "
+            "render.pathtrace._maybe_rescue)")
     return {
         "per_view": results,
         "mrays_per_s": agg_rays / agg_s / 1e6,

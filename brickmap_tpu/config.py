@@ -161,6 +161,7 @@ class RenderConfig:
     paged_transit: int = 2           # empty-page ESS jumps per round
     paged_fanout: int = 4            # pages marched per round (1-8)
     paged_pool_fanout: int = 1       # pool pages (brick descends) per round
+    paged_prefetch: bool = True      # cross-round double-buffered DMA
 
     @property
     def num_pixels(self) -> int:

@@ -50,10 +50,15 @@ def _merge_offsets(tmax, tdabs, has_axis, nj: int, nvox: int):
     crossings get distinct consecutive ranks and the merged walk steps
     axis-by-axis through lattice-aligned diagonals instead of collapsing
     them (and double-visiting the diagonal voxel; ADVICE round 2).  "Tied"
-    is tolerance-snapped (crossings within 1e-3 of a crossing period):
-    the quotient (T - tmax_b) / db cannot be FP-exact even for exact
-    geometric ties, and two crossings that close are legitimately ordered
-    by priority either way.
+    is tolerance-snapped within an ABSOLUTE time window (1e-3 in brick-t
+    units, where crossing periods are >= 1): the quotient
+    (T - tmax_b) / db cannot be FP-exact even for exact geometric ties, and
+    two crossings that close are legitimately ordered by priority either
+    way.  The window must be absolute: an earlier per-axis window (1e-3 of
+    each axis's own period) let a near-tie fall INSIDE one axis's window
+    but OUTSIDE the other's, assigning both crossings the same rank — the
+    walk then advanced two axes in one step and skipped a voxel (caught by
+    test_sparse_matches_dense_compositor, round 4).
 
     offs_a[k] = #{j : rank_a(j) < k} is found by a vectorized binary search
     over j (rank_a is strictly increasing in j): O([C, nvox]) memory and
@@ -67,16 +72,17 @@ def _merge_offsets(tmax, tdabs, has_axis, nj: int, nvox: int):
     """
     c = tmax.shape[0]
 
-    tie = 1e-3  # in crossing-period units
+    tie = 1e-3  # ABSOLUTE time window (brick-t units; periods are >= 1)
 
     def count(b, T, inclusive: bool):
         """#{i >= 0 : t_b(i) < T} (or <= T when ``inclusive``), clipped;
-        integers of r within ``tie`` count as equal-time crossings."""
+        crossings within ``tie`` of T (absolute time, so both axes of a
+        near-tie agree on whether it IS a tie) count as equal-time."""
         db = jnp.where(tdabs[:, b:b + 1] == 0.0, 1.0, tdabs[:, b:b + 1])
         r = (T - tmax[:, b:b + 1]) / db
-        # floor(r+tie)+1 == ceil(r-tie) except within the tie window.
-        n = jnp.floor(r + tie).astype(jnp.int32) + 1 if inclusive \
-            else jnp.ceil(r - tie).astype(jnp.int32)
+        # floor(r+e)+1 == ceil(r-e) except within the tie window e = tie/db.
+        n = jnp.floor(r + tie / db).astype(jnp.int32) + 1 if inclusive \
+            else jnp.ceil(r - tie / db).astype(jnp.int32)
         n = jnp.where(has_axis[:, b:b + 1], n, 0)
         return jnp.clip(n, 0, nj)
 
@@ -314,22 +320,19 @@ def composite_sparse(o_cells, direction, segs, cellmap, occupancy, albedo,
     return rgb.reshape(-1, 3)[:n], trans.reshape(-1)[:n]
 
 
-@partial(jax.jit, donate_argnums=(7, 8),
-         static_argnames=("grid", "k_segments"))
-def _chunk_grad_acc(o_cells, direction, cells, nd, ncode, enorm, cellmap,
-                    sse_acc, dfield_acc, field, background, target,
-                    grid: GridConfig, k_segments: int):
-    """One chunk's sum-of-squared-error gradients added into donated
-    accumulators.
+def _chunk_grad_body(o_cells, direction, cells, nd, ncode, enorm, cellmap,
+                     sse_acc, dfield_acc, field, background, target,
+                     grid: GridConfig, k_segments: int):
+    """One chunk's sum-of-squared-error gradients added into accumulators.
 
     ``field`` packs (occupancy, albedo) as [P*512, 4] so the chunk does ONE
     row gather and ONE row scatter-add (the replay is descriptor-bound:
     separate occ/albedo fetches double the ~46 M descriptors per frame).
     Differentiates w.r.t. the *gathered* per-ray voxel values and
-    scatter-adds the cotangents straight into the donated accumulator —
-    never materializing a [P*512, 4]-sized gradient per chunk (a
-    value_and_grad over the full field costs ~6 GB of accumulator traffic
-    per chunk and OOMs HBM at whole-frame scale)."""
+    scatter-adds the cotangents straight into the accumulator — never
+    materializing a [P*512, 4]-sized gradient per chunk (a value_and_grad
+    over the full field costs ~6 GB of accumulator traffic per chunk and
+    OOMs HBM at whole-frame scale)."""
     pvox = field.shape[0]
     gidx, mask = _segment_gidx(o_cells, direction, cells, nd, ncode, enorm,
                                cellmap, grid, k_segments, pvox)
@@ -343,6 +346,53 @@ def _chunk_grad_acc(o_cells, direction, cells, nd, ncode, enorm, cellmap,
     dfield_acc = dfield_acc.at[gidx.reshape(-1)].add(
         d_fld.reshape(-1, 4))
     return sse_acc + sse, dfield_acc
+
+
+_chunk_grad_acc = partial(jax.jit, donate_argnums=(7, 8),
+                          static_argnames=("grid", "k_segments"))(
+    _chunk_grad_body)
+
+
+def _scan_grad_acc(o_cells, direction, cells, nd, ncode, enorm, cellmap,
+                   field, background, target, grid: GridConfig,
+                   k_segments: int, chunk: int):
+    """Traced-input chunking: a lax.scan over ``chunk``-ray slices carrying
+    the (sse, dfield) accumulators.
+
+    Used when the inputs are tracers (inside ``shard_map``/``jit``) but the
+    shard is too big for one program — the single-program replay at 1080p
+    scale materializes [C, K*nvox, 4] intermediates that exhaust HBM
+    (measured 15.75 GB; notes/PERF.md).  Host-dispatched chunking is not
+    available under a trace, so the same bounded-memory loop runs as a scan
+    (VERDICT r3 item 9)."""
+    n = o_cells.shape[0]
+    pad = (-n) % chunk
+
+    def padded(a, fill):
+        if not pad:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full((pad, *a.shape[1:]), fill, a.dtype)])
+
+    # Padded rays carry no segments and zero bg/target => zero SSE + grads.
+    parts = (padded(o_cells, 0.0), padded(direction, 1.0),
+             padded(cells, -1), padded(nd, 0.0), padded(ncode, -1),
+             padded(enorm, 0.0), padded(background, 0.0),
+             padded(target, 0.0))
+    c = parts[0].shape[0] // chunk
+    xs = tuple(a.reshape(c, chunk, *a.shape[1:]) for a in parts)
+
+    def body(carry, x):
+        sse_acc, dfield_acc = carry
+        o_c, d_c, cells_c, nd_c, ncode_c, enorm_c, bg_c, tgt_c = x
+        carry = _chunk_grad_body(
+            o_c, d_c, cells_c, nd_c, ncode_c, enorm_c, cellmap,
+            sse_acc, dfield_acc, field, bg_c, tgt_c, grid, k_segments)
+        return carry, None
+
+    (sse, dfield), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros_like(field)), xs)
+    return sse, dfield
 
 
 @partial(jax.jit, static_argnames=("denom", "pshape"))
@@ -404,6 +454,16 @@ def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
     pshape = occupancy.shape
     field = _pack_field(occupancy, albedo)
     traced = isinstance(origin, jax.core.Tracer)
+    if traced and n > host_chunk:
+        # Inside a trace (shard_map shard bigger than one program's memory
+        # budget): bounded-memory scan chunking instead of silently taking
+        # the single-program path (VERDICT r3 item 9).
+        sse, dfield = _scan_grad_acc(
+            segs["o_cells"], direction, segs["cells"], segs["nd"],
+            segs["ncode"], segs["entry_normal"], cellmap, field,
+            background, target, grid, k_segments,
+            chunk=min(host_chunk, 65536))
+        return _finalize(sse, dfield, denom=n * 3, pshape=pshape)
     if traced or n <= host_chunk:
         sse, dfield = _chunk_grad_acc(
             segs["o_cells"], direction, segs["cells"], segs["nd"],

@@ -93,10 +93,15 @@ def _make_kernel(grid: GridConfig, *, k_segments: int, max_page_rounds: int,
             px=px, py=py, pz=pz, tx=tx, ty=ty, tz=tz,
             axis0=jnp.full((8, 128), -1, i32),
             count=zero_i,
+            # (cell, nd, ncode[, pool slot]) — the slot register is carried
+            # only when the caller wants it (ADVICE r3: K dead (8,128) state
+            # arrays otherwise, against the keep-loop-state-small rule).
             segs=tuple((jnp.full((8, 128), -1, i32),
                         jnp.zeros((8, 128), f32),
-                        jnp.full((8, 128), -1, i32),
-                        jnp.full((8, 128), -1, i32)) for _ in range(K)),
+                        jnp.full((8, 128), -1, i32))
+                       + ((jnp.full((8, 128), -1, i32),) if with_slots
+                          else ())
+                       for _ in range(K)),
         )
 
         def page_of(px, py, pz):
@@ -256,18 +261,18 @@ def _make_kernel(grid: GridConfig, *, k_segments: int, max_page_rounds: int,
                         _arb1024(slotm_s[8:16], hw & 1023))
                     s16 = (s16 >> ((lin & 1) * 16)) & 0xFFFF
                     gslot = jnp.where(s16 == 0xFFFF, -1, base_page + s16)
-                else:
-                    gslot = jnp.full((8, 128), -1, i32)
                 segs = []
                 for kk in range(K):
-                    c_k, n_k, a_k, s_k = st["segs"][kk]
+                    c_k, n_k, a_k = st["segs"][kk][:3]
                     write = occ0 & (st["count"] == kk)
-                    segs.append((
+                    seg = (
                         jnp.where(write, pack, c_k),
                         jnp.where(write, nd_new, n_k),
                         jnp.where(write, jnp.where(entered, axis0, -1),
-                                  a_k),
-                        jnp.where(write, gslot, s_k)))
+                                  a_k))
+                    if with_slots:
+                        seg += (jnp.where(write, gslot, st["segs"][kk][3]),)
+                    segs.append(seg)
                 count = st["count"] + occ0.astype(i32)
 
                 # Step every marching lane (recording does not stop the ray).
@@ -329,12 +334,12 @@ def _make_kernel(grid: GridConfig, *, k_segments: int, max_page_rounds: int,
         st = jax.lax.while_loop(cond, round_body, st)
 
         for kk in range(K):
-            c_k, n_k, a_k, s_k = st["segs"][kk]
+            c_k, n_k, a_k = st["segs"][kk][:3]
             cell_ref[0, kk] = c_k
             nd_ref[0, kk] = n_k
             ncode_ref[0, kk] = a_k
             if with_slots:
-                slot_ref[0, kk] = s_k
+                slot_ref[0, kk] = st["segs"][kk][3]
         count_ref[0] = st["count"]
         exh_ref[0] = st["alive"]
 
@@ -360,9 +365,9 @@ def record_segments(origin, direction, pscene, grid: GridConfig,
     With ``slot_tables`` (the ``(slotmeta, base_pack)`` pair from
     :func:`brickmap_tpu.pallas.paged.build_slot_tables`) the dict also
     carries ``slot`` [N,K] i32: each segment's GLOBAL pool row (-1 for
-    unused segments or non-loaded cells) — the fused differentiable replay
-    (:mod:`brickmap_tpu.pallas.replay`) pages its field by ``slot // 32``
-    and would otherwise need a 16M-descriptor XLA gather per frame.
+    unused segments or non-loaded cells), letting a replay consumer address
+    pool-field rows directly instead of re-deriving them through a
+    per-voxel cellmap gather.
     ``tiled=True`` returns per-segment arrays in the kernel's native
     [T, K, 8, 128] layout (and count/exhausted as [T, 8, 128]) so a
     downstream Pallas consumer avoids the unpad/repad round trip.

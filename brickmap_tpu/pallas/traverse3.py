@@ -137,8 +137,16 @@ def _sel16(words, widx):
 
 def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                  phase_iters: int, transit_iters: int, pages_per_round: int,
-                 pool_fanout: int, use_lod: bool, streaming: bool, nr4: int):
-    """Build the kernel body (static geometry baked in)."""
+                 pool_fanout: int, use_lod: bool, streaming: bool, nr4: int,
+                 prefetch: bool):
+    """Build the kernel body (static geometry baked in).
+
+    ``prefetch``: cross-round double-buffered page/pool DMA (votes + copies
+    for round N+1 issue at the end of round N, overlapping the loop carry
+    and the next transit phase).  ``False`` is the round-2 scheme — vote at
+    round start, copies overlap only that round's transit — kept selectable
+    for hardware A/B (VERDICT r3 item 4: the prefetch shipped unmeasured).
+    """
     i32, f32 = jnp.int32, jnp.float32
     s = grid.supergrid_cell_size            # 16
     sx_pages = grid.supergrid_xy
@@ -389,13 +397,20 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 cp.wait()
 
         def round_body(st):
-            # Round N consumes the copies started at the end of round N-1
-            # (or the pre-loop priming) into buffer rnd & 1; votes + DMAs for
-            # round N+1 issue after this round's phases, overlapping the next
-            # transit + the inter-round loop overhead with the transfers.
-            buf = st["rnd"] & 1
-            page_ids = [st[f"pg{k}"] for k in range(NP)]
-            pool_ids = [st[f"pl{k}"] for k in range(NPP)]
+            # Prefetch mode: round N consumes the copies started at the end
+            # of round N-1 (or the pre-loop priming) into buffer rnd & 1;
+            # votes + DMAs for round N+1 issue after this round's phases,
+            # overlapping the next transit + the inter-round loop overhead.
+            # Non-prefetch (round-2) mode: vote here, start the copies, and
+            # overlap them with this round's transit phase only.
+            if prefetch:
+                buf = st["rnd"] & 1
+                page_ids = [st[f"pg{k}"] for k in range(NP)]
+                pool_ids = [st[f"pl{k}"] for k in range(NPP)]
+            else:
+                buf = jnp.int32(0)
+                page_ids, pool_ids = compute_votes(st)
+                start_copies(page_ids, pool_ids, buf)
 
             # ---- transit: lanes in empty pages jump the Chebyshev safe box
             # (page-granular ESS; same k arithmetic as ops.traverse).
@@ -716,33 +731,39 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
 
             st = jax.lax.fori_loop(0, phase_iters, phase, st)
 
-            # Vote + start the NEXT round's DMAs into the other buffer now:
-            # the copies overlap the loop carry and round N+1's transit phase.
-            page_ids_n, pool_ids_n = compute_votes(st)
-            start_copies(page_ids_n, pool_ids_n, 1 - buf)
-            st = dict(st, rnd=st["rnd"] + 1)
-            for k in range(NP):
-                st[f"pg{k}"] = page_ids_n[k]
-            for k in range(NPP):
-                st[f"pl{k}"] = pool_ids_n[k]
-            return st
+            if prefetch:
+                # Vote + start the NEXT round's DMAs into the other buffer:
+                # the copies overlap the loop carry and round N+1's transit.
+                page_ids_n, pool_ids_n = compute_votes(st)
+                start_copies(page_ids_n, pool_ids_n, 1 - buf)
+                st = dict(st, rnd=st["rnd"] + 1)
+                for k in range(NP):
+                    st[f"pg{k}"] = page_ids_n[k]
+                for k in range(NPP):
+                    st[f"pl{k}"] = pool_ids_n[k]
+                return st
+            return dict(st, rnd=st["rnd"] + 1)
 
-        # Prime round 0's copies (identical timeline point to the old
-        # vote-at-round-start scheme: post-phase state == pre-transit state).
-        page_ids0, pool_ids0 = compute_votes(st)
-        start_copies(page_ids0, pool_ids0, 0)
-        for k in range(NP):
-            st[f"pg{k}"] = page_ids0[k]
-        for k in range(NPP):
-            st[f"pl{k}"] = pool_ids0[k]
+        if prefetch:
+            # Prime round 0's copies (identical timeline point to the old
+            # vote-at-round-start scheme: post-phase state == pre-transit
+            # state).
+            page_ids0, pool_ids0 = compute_votes(st)
+            start_copies(page_ids0, pool_ids0, 0)
+            for k in range(NP):
+                st[f"pg{k}"] = page_ids0[k]
+            for k in range(NPP):
+                st[f"pl{k}"] = pool_ids0[k]
 
         st = jax.lax.while_loop(cond, round_body, st)
 
-        # Drain the in-flight prefetch for the round that never ran — a
-        # signaled-but-unconsumed DMA semaphore would corrupt the next tile's
-        # first wait (scratch + semaphores persist across grid steps).
-        wait_copies([st[f"pg{k}"] for k in range(NP)],
-                    [st[f"pl{k}"] for k in range(NPP)], st["rnd"] & 1)
+        if prefetch:
+            # Drain the in-flight prefetch for the round that never ran — a
+            # signaled-but-unconsumed DMA semaphore would corrupt the next
+            # tile's first wait (scratch + semaphores persist across grid
+            # steps).
+            wait_copies([st[f"pg{k}"] for k in range(NP)],
+                        [st[f"pl{k}"] for k in range(NPP)], st["rnd"] & 1)
 
         hit_ref[0] = st["hit"]
         t_ref[0] = st["thit"]
@@ -758,18 +779,21 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
 @partial(jax.jit,
          static_argnames=("grid", "max_page_rounds", "march_steps",
                           "phase_iters", "transit_iters", "pages_per_round",
-                          "pool_fanout", "use_lod", "streaming", "interpret"))
+                          "pool_fanout", "use_lod", "streaming", "interpret",
+                          "prefetch"))
 def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
                 max_page_rounds: int, march_steps: int, phase_iters: int,
                 transit_iters: int, pages_per_round: int, pool_fanout: int,
-                use_lod: bool, streaming: bool, interpret: bool):
+                use_lod: bool, streaming: bool, interpret: bool,
+                prefetch: bool):
     t_tiles = comps[0].shape[0]
     kernel = _make_kernel(grid, max_page_rounds=max_page_rounds,
                           march_steps=march_steps, phase_iters=phase_iters,
                           transit_iters=transit_iters,
                           pages_per_round=pages_per_round,
                           pool_fanout=pool_fanout, use_lod=use_lod,
-                          streaming=streaming, nr4=scd.shape[0])
+                          streaming=streaming, nr4=scd.shape[0],
+                          prefetch=prefetch)
     tile = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     out_sd = [
@@ -811,13 +835,15 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
 @partial(jax.jit,
          static_argnames=("grid", "max_page_rounds", "march_steps",
                           "phase_iters", "transit_iters", "pages_per_round",
-                          "pool_fanout", "use_lod", "streaming", "interpret"))
+                          "pool_fanout", "use_lod", "streaming", "interpret",
+                          "prefetch"))
 def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
                      grid: GridConfig, max_page_rounds: int = 96,
                      march_steps: int = 48, phase_iters: int = 2,
                      transit_iters: int = 2, pages_per_round: int = 4,
                      pool_fanout: int = 1, use_lod: bool = True,
-                     streaming: bool = True, interpret: bool = False):
+                     streaming: bool = True, interpret: bool = False,
+                     prefetch: bool = True):
     """Trace rays with the fused hierarchical kernel.
 
     Same contract/results as :func:`brickmap_tpu.ops.traverse.trace_rays`
@@ -853,7 +879,8 @@ def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
     hit, t, ncode, req, reqpos, exh, rounds = _paged_call(
         cam, pscene.sc_dist, pscene.meta, pscene.poolT, tuple(comps), grid,
         max_page_rounds, march_steps, phase_iters, transit_iters,
-        pages_per_round, pool_fanout, use_lod, streaming, interpret)
+        pages_per_round, pool_fanout, use_lod, streaming, interpret,
+        prefetch)
 
     def unpad(a):
         return a.reshape(-1)[:n]

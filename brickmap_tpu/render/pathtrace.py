@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import BrickmapConfig
 from ..ops import sunsky as sunsky_mod
@@ -148,6 +149,7 @@ def _trace(origins, dirs, scene, cam_brick, cfg: BrickmapConfig):
             transit_iters=cfg.render.paged_transit,
             pages_per_round=cfg.render.paged_fanout,
             pool_fanout=cfg.render.paged_pool_fanout,
+            prefetch=cfg.render.paged_prefetch,
             interpret=jax.devices()[0].platform == "cpu",
         )
     if scene.block_words is not None:
@@ -188,19 +190,59 @@ def wave_for_indices(key, idx, scene, camera_arrays, cam_brick,
     return _final_shadow(st, scene, cam_brick, cfg)
 
 
+RESCUE_ROUNDS = 2048
+
+
+def _rescue_cfg(cfg: BrickmapConfig) -> BrickmapConfig:
+    """Escalated traversal budgets for re-tracing budget-exhausted lanes.
+
+    The reference contract is that every ray terminates with a defined
+    result (voxel.cuh:135-261); page-divergent tiles can exhaust the normal
+    round budget, so the few exhausted lanes are compacted + re-traced with
+    a budget no realizable ray path exceeds.  The while_loops exit as soon
+    as every lane resolves, so the big budget costs only what it uses.
+    """
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, render=dataclasses.replace(
+            cfg.render, paged_rounds=RESCUE_ROUNDS,
+            max_top_steps=max(cfg.render.max_top_steps, 4096)))
+
+
 def _bucketed_wave(key, st, scene, cam_brick, sun_dir, cfg: BrickmapConfig):
     """Shared bounce loop with host-picked compaction buckets (the live
-    count is pulled per bounce; bounce 0 is always fully live)."""
+    count is pulled per bounce; bounce 0 is always fully live).
+
+    Each bounce is trace stage -> (optional) exhausted-lane rescue ->
+    shade stage; the rescue guarantees zero budget-truncated rays in the
+    wave result (asserted by the benchmark harness)."""
     n = st["origins"].shape[0]
     k_loop = key
     for bounce in range(cfg.render.max_bounces + 1):
         k_loop, k_b = jax.random.split(k_loop)
         bucket = None if bounce == 0 else _pick_bucket(_live_count(st), 2 * n)
-        st = _bounce_step(jnp.int32(bounce), k_b, st, scene, cam_brick,
-                          sun_dir, cfg, bucket=bucket)
+        res = _trace_stage(st, scene, cam_brick, cfg, bucket)
+        res = _maybe_rescue(res, st, scene, cam_brick, cfg, 2 * n,
+                            final=False)
+        st = _shade_stage(jnp.int32(bounce), k_b, st, res, sun_dir, cfg)
     fbucket = _pick_bucket(
         int(jnp.sum(st["sh_active"].astype(jnp.int32))), n)
-    return _final_shadow(st, scene, cam_brick, cfg, bucket=fbucket)
+    res = _final_trace_stage(st, scene, cam_brick, cfg, fbucket)
+    res = _maybe_rescue(res, st, scene, cam_brick, cfg, n, final=True)
+    return _final_accum_stage(st, res)
+
+
+def _maybe_rescue(res, st, scene, cam_brick, cfg: BrickmapConfig, m: int,
+                  final: bool):
+    """Re-trace exhausted live lanes with the escalated budget (host-gated:
+    one tiny scalar pull; the rescue executable compiles per bucket size)."""
+    n_exh = int(np.asarray(res["exh_n"]))
+    if not n_exh:
+        return res
+    bucket = _pick_bucket(n_exh, m)
+    return _rescue_stage(res, st, scene, cam_brick, _rescue_cfg(cfg), bucket,
+                         final)
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
@@ -237,6 +279,69 @@ def _primary_state(key, camera_arrays, cfg: BrickmapConfig, width: int,
     }
 
 
+def _concat_rays(st):
+    """Extension + shadow rays of the wave state as one 2n-lane batch."""
+    o_all = jnp.concatenate([st["origins"], st["sh_o"]], axis=0)
+    d_all = jnp.concatenate([st["dirs"], st["sh_d"]], axis=0)
+    live = jnp.concatenate([st["active"], st["sh_active"]])
+    return o_all, d_all, live
+
+
+def _with_exh(res, live):
+    """Restrict the exhausted flag to live lanes + attach its lane count
+    (pulled by the host to gate the rescue pass)."""
+    exh = res["exhausted"] & live
+    return dict(res, exhausted=exh,
+                exh_n=jnp.sum(exh.astype(jnp.int32)))
+
+
+@partial(jax.jit, static_argnames=("cfg", "bucket"))
+def _trace_stage(st, scene, cam_brick, cfg: BrickmapConfig,
+                 bucket: int | None):
+    o_all, d_all, live = _concat_rays(st)
+    if bucket is None:
+        res = _trace(o_all, d_all, scene, cam_brick, cfg)
+    else:
+        res = _compact_trace(o_all, d_all, live, scene, cam_brick, cfg,
+                             bucket)
+    return _with_exh(res, live)
+
+
+@partial(jax.jit, static_argnames=("cfg", "bucket"))
+def _final_trace_stage(st, scene, cam_brick, cfg: BrickmapConfig,
+                       bucket: int | None):
+    if bucket is None:
+        res = _trace(st["sh_o"], st["sh_d"], scene, cam_brick, cfg)
+    else:
+        res = _compact_trace(st["sh_o"], st["sh_d"], st["sh_active"], scene,
+                             cam_brick, cfg, bucket)
+    return _with_exh(res, st["sh_active"])
+
+
+@partial(jax.jit, static_argnames=("cfg", "bucket", "final"))
+def _rescue_stage(res, st, scene, cam_brick, cfg: BrickmapConfig,
+                  bucket: int, final: bool):
+    """Re-trace ``res``'s exhausted lanes (compacted) with the escalated
+    ``cfg`` budgets and merge the rescue results over them."""
+    if final:
+        o_all, d_all = st["sh_o"], st["sh_d"]
+    else:
+        o_all, d_all, _ = _concat_rays(st)
+    exh = res["exhausted"]
+    r2 = _compact_trace(o_all, d_all, exh, scene, cam_brick, cfg, bucket)
+    merged = {
+        k: jnp.where(exh if res[k].ndim == 1 else exh[:, None], r2[k],
+                     res[k])
+        for k in ("hit", "t", "normal", "request", "request_pos")
+    }
+    return _with_exh(dict(merged, exhausted=r2["exhausted"]), exh)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _shade_stage(bounce, key, st, res, sun_dir, cfg: BrickmapConfig):
+    return _shade_update(bounce, key, st, res, sun_dir, cfg)
+
+
 @partial(jax.jit, static_argnames=("cfg", "bucket"))
 def _bounce_step(bounce, key, st, scene, cam_brick, sun_dir,
                  cfg: BrickmapConfig, bucket: int | None = None):
@@ -244,22 +349,30 @@ def _bounce_step(bounce, key, st, scene, cam_brick, sun_dir,
 
     ``bounce`` is traced, so one executable serves every bounce at a given
     compaction ``bucket`` (the reference relaunches the same five kernels per
-    frame, kernel.cu:416-420 — same idea, one fused launch here).
+    frame, kernel.cu:416-420 — same idea, one fused launch here).  This is
+    the fully-fused single-program form used inside ``shard_map`` /
+    ``lax``-driven callers; the host-orchestrated wave uses the staged
+    ``_trace_stage``/``_shade_stage`` pair so exhausted lanes can be rescued
+    between them.
     """
+    o_all, d_all, live = _concat_rays(st)
+    if bucket is None:
+        res = _trace(o_all, d_all, scene, cam_brick, cfg)
+    else:
+        res = _compact_trace(o_all, d_all, live, scene, cam_brick, cfg,
+                             bucket)
+    return _shade_update(bounce, key, st, res, sun_dir, cfg)
+
+
+def _shade_update(bounce, key, st, res, sun_dir, cfg: BrickmapConfig):
+    """Shading + NEE + next-bounce state from a traversal result (the
+    reference's ``shade`` kernel, kernel.cu:242-325)."""
     n = st["origins"].shape[0]
     active, sh_active = st["active"], st["sh_active"]
     origins, dirs = st["origins"], st["dirs"]
     eps = cfg.grid.epsilon
 
     traced = st["traced"] + jnp.sum(active) + jnp.sum(sh_active)
-    o_all = jnp.concatenate([origins, st["sh_o"]], axis=0)
-    d_all = jnp.concatenate([dirs, st["sh_d"]], axis=0)
-    if bucket is None:
-        res = _trace(o_all, d_all, scene, cam_brick, cfg)
-    else:
-        live = jnp.concatenate([active, sh_active])
-        res = _compact_trace(o_all, d_all, live, scene, cam_brick, cfg,
-                             bucket)
     ext_hit = res["hit"][:n]
     ext_t = res["t"][:n]
     ext_n = res["normal"][:n]
@@ -328,12 +441,21 @@ def _bounce_step(bounce, key, st, scene, cam_brick, sun_dir,
 @partial(jax.jit, static_argnames=("cfg", "bucket"))
 def _final_shadow(st, scene, cam_brick, cfg: BrickmapConfig,
                   bucket: int | None = None):
-    traced = st["traced"] + jnp.sum(st["sh_active"])
     if bucket is None:
         res = _trace(st["sh_o"], st["sh_d"], scene, cam_brick, cfg)
     else:
         res = _compact_trace(st["sh_o"], st["sh_d"], st["sh_active"], scene,
                              cam_brick, cfg, bucket)
+    return _final_accum_update(st, res)
+
+
+@jax.jit
+def _final_accum_stage(st, res):
+    return _final_accum_update(st, res)
+
+
+def _final_accum_update(st, res):
+    traced = st["traced"] + jnp.sum(st["sh_active"])
     sh_exh = res["exhausted"] & st["sh_active"]
     accum = st["accum"] + jnp.where(
         (st["sh_active"] & ~res["hit"] & ~sh_exh)[:, None],

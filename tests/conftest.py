@@ -26,6 +26,21 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture()
+def rng(request):
+    """Per-test deterministic rng.
+
+    Seeded from the test's nodeid (stable hash) so each test's random data
+    is independent of execution order — a session-scoped stream made every
+    added/filtered test shift later tests' rays, which surfaced
+    tolerance-marginal failures that only reproduced in specific orders."""
+    import zlib
+
+    seed = zlib.crc32(request.node.nodeid.encode()) & 0xFFFFFFFF
+    return np.random.default_rng(seed)
+
+
 @pytest.fixture(scope="session")
-def rng():
+def session_rng():
+    """Shared stream for session-scoped fixtures (world builders)."""
     return np.random.default_rng(1234)

@@ -12,7 +12,8 @@ from brickmap_tpu.ops import dda_ref
 
 
 @pytest.fixture(scope="module")
-def small_world(rng):
+def small_world():
+    rng = np.random.default_rng(101)
     """16^3 grid with a solid 6^3 cube."""
     occ = np.zeros((16, 16, 16), np.float32)
     occ[5:11, 5:11, 5:11] = 1.0

@@ -10,7 +10,8 @@ from brickmap_tpu.pallas.brick import trace_single_brick
 
 
 @pytest.fixture(scope="module")
-def brick(rng):
+def brick():
+    rng = np.random.default_rng(103)
     dense = rng.random((8, 8, 8)) < 0.12  # [z, y, x]
     dense[4, 3, 2] = True
     words = np.asarray(bits.brick_words_from_dense(dense[None])[0], np.uint32)

@@ -237,3 +237,57 @@ def test_wave_image_matches_oracle_shading(world):
         np.testing.assert_allclose(
             rgb[i], expected[i], atol=5e-4, rtol=2e-3,
             err_msg=f"pixel {i}: o={origins0[i]} d={dirs0[i]}")
+
+
+def test_rescue_pass_zeroes_exhausted(world):
+    """The staged wave re-traces budget-exhausted lanes at an escalated
+    budget: the wave result must report ZERO exhausted rays and match the
+    ample-budget render bit-for-bit (VERDICT r3 item 2 — every ray
+    terminates with a defined result, voxel.cuh:135-261)."""
+    import dataclasses
+
+    from brickmap_tpu.pallas.paged import build_paged_scene
+
+    sc, jsc, cam, arrays, cam_brick = world
+    psc = jax.tree.map(jnp.asarray, build_paged_scene(sc, CFG.grid))
+    cfg_t = CFG.replace(render=dataclasses.replace(
+        CFG.render, max_bounces=1, paged_rounds=2, paged_march=2,
+        paged_phases=1))
+    key = jax.random.PRNGKey(35)
+
+    # The starved budget really does exhaust lanes on the raw kernel...
+    st = pathtrace._primary_state(jax.random.split(key)[0], arrays, cfg_t,
+                                  W, H)
+    raw = pathtrace._trace_stage(st, psc, cam_brick, cfg_t, None)
+    assert int(np.asarray(raw["exh_n"])) > 0
+
+    # ...but the wave-level rescue retraces them to completion.
+    rgb, count, req = pathtrace.render_wave(key, psc, arrays, cam_brick,
+                                            cfg_t, W, H)
+    assert int(req["exhausted_rays"]) == 0
+
+    cfg_hi = CFG.replace(render=dataclasses.replace(
+        CFG.render, max_bounces=1, paged_rounds=256))
+    rgb_hi, _, _ = pathtrace.render_wave(key, psc, arrays, cam_brick,
+                                         cfg_hi, W, H)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_hi),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rescue_reports_honestly_when_starved(world, monkeypatch):
+    """If even the rescue budget is exhausted, the count must survive to the
+    wave result (the harness FAILS on it rather than hiding it)."""
+    import dataclasses
+
+    from brickmap_tpu.pallas.paged import build_paged_scene
+    from brickmap_tpu.render import pathtrace as pt
+
+    sc, jsc, cam, arrays, cam_brick = world
+    psc = jax.tree.map(jnp.asarray, build_paged_scene(sc, CFG.grid))
+    cfg_t = CFG.replace(render=dataclasses.replace(
+        CFG.render, max_bounces=0, paged_rounds=1, paged_march=2,
+        paged_phases=1))
+    monkeypatch.setattr(pt, "RESCUE_ROUNDS", 1)
+    rgb, count, req = pt.render_wave(jax.random.PRNGKey(36), psc, arrays,
+                                     cam_brick, cfg_t, W, H)
+    assert int(req["exhausted_rays"]) > 0

@@ -22,7 +22,8 @@ def box_scene():
 
 
 @pytest.fixture(scope="module")
-def noise_scene(rng):
+def noise_scene():
+    rng = np.random.default_rng(104)
     dense = rng.random((128, 128, 128)) < 0.015
     return scene_mod.scene_from_dense(dense, GRID), dense
 

@@ -28,14 +28,15 @@ def box_scene():
 
 
 @pytest.fixture(scope="module")
-def noise_scene(rng):
+def noise_scene():
+    rng = np.random.default_rng(105)
     dense = rng.random((128, 128, 128)) < 0.015
     sc = scene_mod.scene_from_dense(dense, GRID1)
     return sc, build_paged_scene(sc, GRID1)
 
 
 @pytest.fixture(scope="module")
-def multipage_scene(rng):
+def multipage_scene():
     """2x2x1 pages with an empty page gap (exercises page votes + transit)."""
     dense = np.zeros((128, 256, 256), bool)
     dense[16:48, 16:80, 16:80] = True        # page (0,0,0)
@@ -194,3 +195,26 @@ def test_device_paged_build_matches_host(noise_scene):
     np.testing.assert_array_equal(
         np.asarray(psc_dev.poolT).astype(np.float32),
         np.asarray(psc_host.poolT).astype(np.float32))
+
+
+def test_paged_prefetch_modes_agree(multipage_scene, rng):
+    """prefetch=False (round-2 single-buffer DMA scheme) must be a pure
+    scheduling change: identical results to the double-buffered default."""
+    import jax
+
+    sc, psc_np = multipage_scene
+    psc = jax.tree.map(jnp.asarray, psc_np)
+    n = 64
+    origins = rng.uniform([5, 5, 100], [250, 250, 120], (n, 3)).astype(
+        np.float32)
+    directions = rng.normal(size=(n, 3)).astype(np.float32)
+    directions[:, 2] = -np.abs(directions[:, 2]) - 0.3
+    directions /= np.linalg.norm(directions, axis=1, keepdims=True)
+    a = trace_rays_paged(jnp.asarray(origins), jnp.asarray(directions), psc,
+                         jnp.asarray(CAM, jnp.int32), GRID4, interpret=True,
+                         prefetch=True)
+    b = trace_rays_paged(jnp.asarray(origins), jnp.asarray(directions), psc,
+                         jnp.asarray(CAM, jnp.int32), GRID4, interpret=True,
+                         prefetch=False)
+    for k in ("hit", "t", "normal", "request", "exhausted"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), k)
