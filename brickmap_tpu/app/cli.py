@@ -146,6 +146,14 @@ def cmd_render(args) -> int:
 
     from ..utils.profiling import trace as profile_trace
 
+    server = None
+    if args.serve is not None:
+        from ..utils.preview import PreviewServer
+
+        server = PreviewServer(args.serve)
+        print(f"live preview: http://localhost:{server.port}/",
+              file=sys.stderr)
+
     frames = args.turntable if args.turntable else 1
     timer = FrameTimer()
     metrics = MetricsLogger(args.metrics, echo=args.verbose)
@@ -192,15 +200,25 @@ def cmd_render(args) -> int:
                 print(f"frame {frame} wave {s}: {dt*1000:.0f} ms{extra}",
                       file=sys.stderr)
             wave_idx += 1
-            if args.preview_every and (s + 1) % args.preview_every == 0 \
-                    and s + 1 < args.spp:
+            preview_now = args.preview_every \
+                and (s + 1) % args.preview_every == 0 and s + 1 < args.spp
+            if server is not None or preview_now:
                 img = np.asarray(pathtrace.tonemap(film, args.width,
                                                    args.height))
-                write_png(args.out, img)
+                if preview_now:
+                    write_png(args.out, img)
+                if server is not None:
+                    server.update(
+                        img, frame=frame, wave=s + 1, spp=args.spp,
+                        wave_ms=round(dt * 1000, 1),
+                        mrays_s=round(int(req["traced_rays"]) / dt / 1e6, 2))
         img = np.asarray(pathtrace.tonemap(film, args.width, args.height))
         out = args.out if frames == 1 else \
             args.out.replace(".png", f"_{frame:03d}.png")
         write_png(out, img)
+        if server is not None:
+            server.update(img, frame=frame, wave=args.spp, spp=args.spp,
+                          done=frame + 1 == frames)
     prof.__exit__(None, None, None)
     if mgr is not None:
         res = mgr.dump()
@@ -209,6 +227,9 @@ def cmd_render(args) -> int:
               file=sys.stderr)
 
     stats = timer.stats()
+    # The timer counts timed WAVES; don't let its "frames" key shadow the
+    # camera-frame count.
+    stats["waves"] = stats.pop("frames")
     print(json.dumps({"out": args.out, "spp": args.spp, "frames": frames,
                       **stats}))
     return 0
@@ -448,6 +469,10 @@ def main(argv=None) -> int:
                          "the lockstep XLA path")
     pr.add_argument("--preview-every", type=int, default=0,
                     help="write the progressive image to --out every N waves")
+    pr.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="serve a live progressive preview + stats over HTTP "
+                         "on PORT (the reference's interactive window, "
+                         "main.cpp:26-190, as a browser view; 0 = any port)")
     pr.add_argument("--turntable", type=int, default=0,
                     help="render N frames orbiting --look (accumulation "
                          "resets per camera move); frames saved as "

@@ -138,13 +138,16 @@ def pool_fields_from_bitmask(scene) -> tuple[np.ndarray, np.ndarray]:
     return occ, alb
 
 
-def _segment_gidx(oc, dc, cells, nds, ncodes, enorm, cellmap,
-                  grid: GridConfig, k_segments: int, pvox: int):
-    """Flat voxel ids [C, K*nvox] + step-valid mask for all segments.
+def _segment_geom(oc, dc, cells, nds, ncodes, enorm, cellmap,
+                  grid: GridConfig, k_segments: int):
+    """Per-segment geometry: brick slot + the in-brick DDA's visit sequence.
 
     Pure geometry — the in-brick DDA path is *data-independent* (positions
     depend only on ray geometry), so every visited voxel's index is computed
     by register arithmetic, no occupancy reads.
+
+    Returns (slots [C,K] i32 (0 where invalid), lin [C,K,nvox] i32 in-brick
+    voxel ids, mask [C,K,nvox] bool step-valid).
     """
     eps = jnp.float32(grid.epsilon)
     bsz = grid.brick_size
@@ -193,13 +196,26 @@ def _segment_gidx(oc, dc, cells, nds, ncodes, enorm, cellmap,
         mask = valid[:, None] & inb
         lin = jnp.clip(pk[..., 0] + pk[..., 1] * bsz
                        + pk[..., 2] * bsz * bsz, 0, bsz ** 3 - 1)
-        gidx = jnp.clip(slot[:, None] * (bsz ** 3) + lin, 0, pvox - 1)
-        return gidx, mask
+        return slot, lin, mask
 
     parts = [seg_indices(k) for k in range(k_segments)]
-    gidx = jnp.concatenate([g for g, _ in parts], axis=1)  # [C, K*nvox]
-    mask = jnp.concatenate([m for _, m in parts], axis=1)
-    return gidx, mask
+    slots = jnp.stack([s for s, _, _ in parts], axis=1)    # [C, K]
+    lin = jnp.stack([l for _, l, _ in parts], axis=1)      # [C, K, nvox]
+    mask = jnp.stack([m for _, _, m in parts], axis=1)
+    return slots, lin, mask
+
+
+def _segment_gidx(oc, dc, cells, nds, ncodes, enorm, cellmap,
+                  grid: GridConfig, k_segments: int, pvox: int):
+    """Flat voxel ids [C, K*nvox] + step-valid mask (voxel-granular form)."""
+    bsz = grid.brick_size
+    nvox = 3 * bsz - 2
+    slots, lin, mask = _segment_geom(oc, dc, cells, nds, ncodes, enorm,
+                                     cellmap, grid, k_segments)
+    gidx = jnp.clip(slots[:, :, None] * (bsz ** 3) + lin, 0, pvox - 1)
+    c = slots.shape[0]
+    return gidx.reshape(c, k_segments * nvox), \
+        mask.reshape(c, k_segments * nvox)
 
 
 @jax.custom_vjp
@@ -273,24 +289,46 @@ def _composite_raw(occ_raw, alb_v, mask, bg):
     return _composite_core(occ_v, alb_v, bg)
 
 
-@partial(jax.jit, static_argnames=("grid", "k_segments", "rays_per_chunk"))
+@partial(jax.jit, static_argnames=("grid", "k_segments", "rays_per_chunk",
+                                   "row_replay"))
 def composite_sparse(o_cells, direction, segs, cellmap, occupancy, albedo,
                      background, grid: GridConfig, k_segments: int = 16,
-                     rays_per_chunk: int = 32768):
+                     rays_per_chunk: int = 32768, row_replay: bool = True):
     """Alpha-composite recorded segments. Returns (rgb [N,3], trans [N]).
 
     Differentiable in (occupancy [P,512], albedo [P,512,3]).
 
-    Each segment's <=22 voxel indices come from :func:`_segment_gidx` and
-    are fetched with ONE flat gather per field — no [C,512(,3)] brick-row
-    intermediates, and the backward pass is two scatter-adds per segment
-    instead of 22 gather adjoints.
+    ``row_replay=True`` fetches ONE [512, 4] brick row per (ray, segment)
+    and extracts the visited voxels with fused compare-reductions (see
+    ``_row_chunk_grad`` — TPU gathers are descriptor-bound, so K descriptors
+    beat K*nvox).  ``row_replay=False`` keeps the voxel-granular gather
+    (one flat row per visited voxel) as the parity oracle.
     """
     n = o_cells.shape[0]
     pvox = occupancy.shape[0] * occupancy.shape[1]
+    bsz3 = grid.brick_size ** 3
+    nvox = 3 * grid.brick_size - 2
+    if row_replay:
+        # The [C, K, 512, 4] row intermediate bounds the chunk size (4096
+        # rays x K=16 is ~0.5 GB); the voxel path's [C, K*nvox] is lighter.
+        rays_per_chunk = min(rays_per_chunk, 4096)
 
     def run_chunk(args):
         oc, dc, cells, nds, ncodes, enorm, bg = args
+        c = oc.shape[0]
+        if row_replay:
+            slots, lin, mask = _segment_geom(oc, dc, cells, nds, ncodes,
+                                             enorm, cellmap, grid,
+                                             k_segments)
+            field3 = jnp.concatenate(
+                [occupancy.reshape(-1, bsz3, 1),
+                 albedo.reshape(-1, bsz3, 3)], axis=2)
+            rows = jnp.take(field3, slots, axis=0)      # [C, K, 512, 4]
+            vals = _extract_rows(rows, lin)             # [C, K, nvox, 4]
+            occ_raw = vals[..., 0].reshape(c, k_segments * nvox)
+            alb_v = vals[..., 1:].reshape(c, k_segments * nvox, 3)
+            return _composite_raw(occ_raw, alb_v,
+                                  mask.reshape(c, k_segments * nvox), bg)
         gidx, mask = _segment_gidx(oc, dc, cells, nds, ncodes, enorm,
                                    cellmap, grid, k_segments, pvox)
         occ_raw = jnp.take(occupancy.reshape(-1), gidx)     # [C, K*nvox]
@@ -351,6 +389,120 @@ def _chunk_grad_body(o_cells, direction, cells, nd, ncode, enorm, cellmap,
 _chunk_grad_acc = partial(jax.jit, donate_argnums=(7, 8),
                           static_argnames=("grid", "k_segments"))(
     _chunk_grad_body)
+
+
+# ---------------------------------------------------------------------------
+# Brick-row-granular replay (the fast path)
+# ---------------------------------------------------------------------------
+#
+# The voxel-granular replay above moves K*nvox gather + scatter DESCRIPTORS
+# per ray (~46 M per 262k-ray chunk at K=8) and TPU gathers/scatters are
+# descriptor-bound (~15/70 ns per row regardless of row size, notes/PERF.md)
+# — the measured 0.055 Mrays/s wall is almost entirely descriptor cost.  The
+# row path moves ONE descriptor per (ray, segment): it gathers each
+# segment's whole [512, 4] brick row (bandwidth is nearly free at these
+# sizes), extracts the <=nvox visited voxels with fused iota-compare
+# reductions (VPU work, no descriptors), and scatter-adds ONE [512, 4] row
+# of cotangents per segment — a K*nvox -> K descriptor reduction (22x at
+# K=8).  This is the "per-page gradient partials" lever of notes/ROADMAP.md
+# section 2 realized at brick granularity in plain XLA: no new DMA kernel,
+# identical math (parity-tested against the voxel path), works under jit /
+# shard_map on any backend.
+
+
+@partial(jax.checkpoint, static_argnums=())
+def _extract_rows(rows, lin):
+    """Visited-voxel values from gathered brick rows, no gather descriptors.
+
+    rows [C, K, 512, F], lin [C, K, nvox] -> vals [C, K, nvox, F] via an
+    unrolled compare-select reduction per step: XLA fuses each step into one
+    pass over ``rows`` (pure VPU work).  Rematerialized under AD — the
+    backward (a compare-masked broadcast accumulation) recomputes the
+    comparisons instead of saving [C, K, 512] masks per step.
+    """
+    nvox = lin.shape[2]
+    vox = jnp.arange(rows.shape[2], dtype=jnp.int32)
+    outs = []
+    for j in range(nvox):
+        sel = lin[:, :, j, None] == vox                     # [C, K, 512]
+        outs.append(jnp.sum(jnp.where(sel[..., None], rows, 0.0), axis=2))
+    return jnp.stack(outs, axis=2)
+
+
+def _row_chunk_grad(o_cells, direction, cells, nd, ncode, enorm, cellmap,
+                    sse_acc, dfield_acc, field3, background, target,
+                    grid: GridConfig, k_segments: int):
+    """One chunk's SSE + gradients at brick-row granularity.
+
+    ``field3`` is [P, 512, 4] (occ + rgb packed); ``dfield_acc`` matches.
+    Differentiates w.r.t. the *gathered rows* and scatter-adds one [512, 4]
+    cotangent row per segment — the accumulator never materializes per-chunk
+    full-field adjoints.
+    """
+    c = o_cells.shape[0]
+    nvox = 3 * grid.brick_size - 2
+    slots, lin, mask = _segment_geom(o_cells, direction, cells, nd, ncode,
+                                     enorm, cellmap, grid, k_segments)
+    rows = jnp.take(field3, slots, axis=0)          # [C, K, 512, 4]
+
+    def sse_fn(rows):
+        vals = _extract_rows(rows, lin)             # [C, K, nvox, 4]
+        occ = vals[..., 0].reshape(c, k_segments * nvox)
+        alb = vals[..., 1:].reshape(c, k_segments * nvox, 3)
+        rgb, _ = _composite_raw(occ, alb,
+                                mask.reshape(c, k_segments * nvox),
+                                background)
+        return jnp.sum((rgb - target) ** 2)
+
+    sse, d_rows = jax.value_and_grad(sse_fn)(rows)
+    dfield_acc = dfield_acc.at[slots.reshape(-1)].add(
+        d_rows.reshape(-1, *field3.shape[1:]))
+    return sse_acc + sse, dfield_acc
+
+
+def _row_scan_grads(o_cells, direction, cells, nd, ncode, enorm, cellmap,
+                    field3, background, target, grid: GridConfig,
+                    k_segments: int, chunk: int):
+    """Whole-frame row-granular gradients: ONE program, a lax.scan over
+    ``chunk``-ray slices carrying (sse, dfield) accumulators.
+
+    Bounded memory (one slice's [chunk, K, 512, 4] rows + cotangents live at
+    a time) and one device dispatch regardless of frame size — the
+    host-dispatched chunk loop would pay tunnel round-trips per slice.
+    """
+    n = o_cells.shape[0]
+    pad = (-n) % chunk
+
+    def padded(a, fill):
+        if not pad:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full((pad, *a.shape[1:]), fill, a.dtype)])
+
+    # Padded rays carry no segments and zero bg/target => zero SSE + grads.
+    parts = (padded(o_cells, 0.0), padded(direction, 1.0),
+             padded(cells, -1), padded(nd, 0.0), padded(ncode, -1),
+             padded(enorm, 0.0), padded(background, 0.0),
+             padded(target, 0.0))
+    nslices = parts[0].shape[0] // chunk
+    xs = tuple(a.reshape(nslices, chunk, *a.shape[1:]) for a in parts)
+
+    def body(carry, x):
+        sse_acc, dfield_acc = carry
+        o_c, d_c, cells_c, nd_c, ncode_c, enorm_c, bg_c, tgt_c = x
+        carry = _row_chunk_grad(
+            o_c, d_c, cells_c, nd_c, ncode_c, enorm_c, cellmap,
+            sse_acc, dfield_acc, field3, bg_c, tgt_c, grid, k_segments)
+        return carry, None
+
+    (sse, dfield), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros_like(field3)), xs)
+    return sse, dfield
+
+
+_row_scan_grads_jit = partial(
+    jax.jit, static_argnames=("grid", "k_segments", "chunk"))(
+    _row_scan_grads)
 
 
 def _scan_grad_acc(o_cells, direction, cells, nd, ncode, enorm, cellmap,
@@ -414,14 +566,23 @@ def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
                              albedo, background, target, grid: GridConfig,
                              k_segments: int = 16,
                              host_chunk: int = 262144,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             row_replay: bool = True):
     """L2 image loss + gradients w.r.t. the sparse pool fields.
 
     The record phase runs the Pallas kernel once (non-differentiable); the
     loss/grad phase replays the bounded-K segments.
 
-    With concrete (non-traced) inputs larger than ``host_chunk`` rays, the
-    gradient is accumulated over host-dispatched chunk programs with donated
+    ``row_replay=True`` (default) replays at brick-ROW granularity: one
+    gather + one scatter descriptor per (ray, segment) instead of per
+    visited voxel (a K*nvox -> K descriptor reduction; TPU gathers and
+    scatters are descriptor-bound, see ``_row_chunk_grad``), as a single
+    scan program with bounded per-slice memory.  ``row_replay=False`` keeps
+    the voxel-granular replay (the original path, retained as the parity
+    oracle and for memory-constrained accumulators):
+
+    with concrete (non-traced) inputs larger than ``host_chunk`` rays, the
+    voxel path accumulates over host-dispatched chunk programs with donated
     accumulators: a single whole-frame backward program exhausts HBM at 1080p
     (measured RESOURCE_EXHAUSTED — the scan over chunks carries the full
     [P,512]+[P,512,3] adjoints plus residuals), and bounded programs also
@@ -454,6 +615,17 @@ def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
     pshape = occupancy.shape
     field = _pack_field(occupancy, albedo)
     traced = isinstance(origin, jax.core.Tracer)
+    if row_replay:
+        bsz3 = grid.brick_size ** 3
+        field3 = field.reshape(-1, bsz3, 4)
+        fn = _row_scan_grads if traced else _row_scan_grads_jit
+        sse, dfield = fn(
+            segs["o_cells"], direction, segs["cells"], segs["nd"],
+            segs["ncode"], segs["entry_normal"], cellmap, field3,
+            background, target, grid, k_segments,
+            chunk=min(host_chunk, 8192))
+        return _finalize(sse, dfield.reshape(-1, 4), denom=n * 3,
+                         pshape=pshape)
     if traced and n > host_chunk:
         # Inside a trace (shard_map shard bigger than one program's memory
         # budget): bounded-memory scan chunking instead of silently taking

@@ -8,7 +8,7 @@ import zlib
 
 import numpy as np
 
-__all__ = ["write_png", "write_ppm", "to_uint8"]
+__all__ = ["encode_png", "write_png", "write_ppm", "to_uint8"]
 
 
 def to_uint8(img: np.ndarray) -> np.ndarray:
@@ -16,8 +16,8 @@ def to_uint8(img: np.ndarray) -> np.ndarray:
     return (np.clip(np.asarray(img), 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """Write [H, W, 3] image (float 0-1 or uint8) as an 8-bit RGB PNG."""
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode [H, W, 3] image (float 0-1 or uint8) as an 8-bit RGB PNG."""
     arr = img if img.dtype == np.uint8 else to_uint8(img)
     h, w, _ = arr.shape
     raw = b"".join(
@@ -29,12 +29,16 @@ def write_png(path: str, img: np.ndarray) -> None:
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    payload = (b"\x89PNG\r\n\x1a\n"
-               + chunk(b"IHDR", ihdr)
-               + chunk(b"IDAT", zlib.compress(raw, 6))
-               + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Write [H, W, 3] image (float 0-1 or uint8) as an 8-bit RGB PNG."""
     with open(path, "wb") as f:
-        f.write(payload)
+        f.write(encode_png(img))
 
 
 def write_ppm(path: str, img: np.ndarray) -> None:

@@ -140,12 +140,43 @@ def test_host_chunked_grads_match_single_program(sparse_world, rng):
             jnp.asarray(tgt), GRID)
 
     l1, (go1, ga1) = l2_loss_and_grads_sparse(*args, k_segments=6,
-                                              interpret=True)
+                                              interpret=True,
+                                              row_replay=False)
     l2, (go2, ga2) = l2_loss_and_grads_sparse(*args, k_segments=6,
-                                              interpret=True, host_chunk=256)
+                                              interpret=True, host_chunk=256,
+                                              row_replay=False)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(go1), np.asarray(go2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(ga1), np.asarray(ga2), atol=1e-6)
+
+
+def test_row_replay_matches_voxel_replay(sparse_world, rng):
+    """Brick-row-granular replay == voxel-granular replay (loss and grads).
+
+    The row path moves one gather/scatter descriptor per (ray, segment)
+    instead of per visited voxel; the math must be identical."""
+    dense, sc, psc, cellmap, occ, alb = sparse_world
+    occ = occ * 0.7
+    rng2 = np.random.default_rng(3)
+    alb = rng2.uniform(0.1, 1.0, alb.shape).astype(np.float32)
+
+    n = 700  # not a multiple of the scan slice size
+    origins, dirs = rays_toward(rng, n)
+    bg = rng2.uniform(0, 1, (n, 3)).astype(np.float32)
+    tgt = np.full((n, 3), 0.3, np.float32)
+    args = (jnp.asarray(origins), jnp.asarray(dirs), psc, cellmap,
+            jnp.asarray(occ), jnp.asarray(alb), jnp.asarray(bg),
+            jnp.asarray(tgt), GRID)
+
+    lv, (gov, gav) = l2_loss_and_grads_sparse(*args, k_segments=6,
+                                              interpret=True,
+                                              row_replay=False)
+    lr, (gor, gar) = l2_loss_and_grads_sparse(*args, k_segments=6,
+                                              interpret=True, host_chunk=256,
+                                              row_replay=True)
+    np.testing.assert_allclose(float(lv), float(lr), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gov), np.asarray(gor), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gav), np.asarray(gar), atol=1e-6)
 
 
 def test_sparse_gradients_fd(sparse_world, rng):
