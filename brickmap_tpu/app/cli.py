@@ -432,7 +432,27 @@ def cmd_scaling(args) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA executable cache: remote-tunnel compiles cost minutes
+    per program (notes/PERF.md), so every CLI entry banks them.  Verified
+    working on the axon backend (round-4 note); set BRICKMAP_CACHE_DIR= to
+    relocate, or =0 to disable."""
+    loc = os.environ.get("BRICKMAP_CACHE_DIR",
+                         os.path.expanduser("~/.cache/brickmap_tpu/xla"))
+    if loc == "0":
+        return
+    try:
+        import jax
+
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="brickmap_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -289,6 +289,59 @@ def _composite_raw(occ_raw, alb_v, mask, bg):
     return _composite_core(occ_v, alb_v, bg)
 
 
+@jax.custom_vjp
+def _composite_core3(occ_v, alb_r, alb_g, alb_b, bg):
+    """Channel-split form of :func:`_composite_core`: albedo as three
+    [C, V] planes so every array in the row replay stays 2-D (a [C, V, 3]
+    minor dim pads 3 -> 128 under TPU tiling when materialized, e.g. as a
+    custom-VJP residual).  Same math, same analytic backward."""
+    cp = jnp.cumprod(1.0 - occ_v, axis=1)                # [C, V]
+    t_excl = jnp.concatenate(
+        [jnp.ones((occ_v.shape[0], 1), jnp.float32), cp[:, :-1]], axis=1)
+    w = occ_v * t_excl
+    rgb = jnp.stack([jnp.sum(w * a, axis=1) for a in (alb_r, alb_g, alb_b)],
+                    axis=1) + cp[:, -1:] * bg
+    return rgb, cp[:, -1]
+
+
+def _composite_core3_fwd(occ_v, alb_r, alb_g, alb_b, bg):
+    out = _composite_core3(occ_v, alb_r, alb_g, alb_b, bg)
+    return out, (occ_v, alb_r, alb_g, alb_b, bg)
+
+
+def _composite_core3_bwd(res, cots):
+    occ_v, alb_r, alb_g, alb_b, bg = res
+    drgb, dtrans = cots
+    cp = jnp.cumprod(1.0 - occ_v, axis=1)
+    t_excl = jnp.concatenate(
+        [jnp.ones((occ_v.shape[0], 1), jnp.float32), cp[:, :-1]], axis=1)
+
+    s = (alb_r * drgb[:, 0:1] + alb_g * drgb[:, 1:2]
+         + alb_b * drgb[:, 2:3])                          # [C, V]
+    g = jnp.sum(bg * drgb, axis=1) + dtrans               # [C]
+
+    def compose(left, right):
+        al, bl = left
+        ar, br = right
+        return ar + br * al, bl * br
+
+    a_el = occ_v * s
+    b_el = 1.0 - occ_v
+    A, B = jax.lax.associative_scan(compose, (a_el, b_el), reverse=True,
+                                    axis=1)
+    s_next = jnp.concatenate(
+        [A[:, 1:] + B[:, 1:] * g[:, None], g[:, None]], axis=1)
+
+    d_occ = t_excl * (s - s_next)
+    w = occ_v * t_excl
+    d_alb = tuple(w * drgb[:, c:c + 1] for c in range(3))
+    d_bg = cp[:, -1:] * drgb
+    return (d_occ, *d_alb, d_bg)
+
+
+_composite_core3.defvjp(_composite_core3_fwd, _composite_core3_bwd)
+
+
 @partial(jax.jit, static_argnames=("grid", "k_segments", "rays_per_chunk",
                                    "row_replay"))
 def composite_sparse(o_cells, direction, segs, cellmap, occupancy, albedo,
@@ -320,10 +373,9 @@ def composite_sparse(o_cells, direction, segs, cellmap, occupancy, albedo,
             slots, lin, mask = _segment_geom(oc, dc, cells, nds, ncodes,
                                              enorm, cellmap, grid,
                                              k_segments)
-            field3 = jnp.concatenate(
-                [occupancy.reshape(-1, bsz3, 1),
-                 albedo.reshape(-1, bsz3, 3)], axis=2)
-            rows = jnp.take(field3, slots, axis=0)      # [C, K, 512, 4]
+            field2 = _pack_field2(occupancy.reshape(-1, bsz3),
+                                  albedo.reshape(-1, bsz3, 3))
+            rows = jnp.take(field2, slots, axis=0)      # [C, K, 4*512]
             vals = _extract_rows(rows, lin)             # [C, K, nvox, 4]
             occ_raw = vals[..., 0].reshape(c, k_segments * nvox)
             alb_v = vals[..., 1:].reshape(c, k_segments * nvox, 3)
@@ -414,55 +466,75 @@ _chunk_grad_acc = partial(jax.jit, donate_argnums=(7, 8),
 def _extract_rows(rows, lin):
     """Visited-voxel values from gathered brick rows, no gather descriptors.
 
-    rows [C, K, 512, F], lin [C, K, nvox] -> vals [C, K, nvox, F] via an
-    unrolled compare-select reduction per step: XLA fuses each step into one
-    pass over ``rows`` (pure VPU work).  Rematerialized under AD — the
-    backward (a compare-masked broadcast accumulation) recomputes the
-    comparisons instead of saving [C, K, 512] masks per step.
+    rows [C, K, 4*512] (field-major columns f*512 + v — the flat layout
+    keeps every array's minor dims at (8, lanes): a [..., 512, 4] layout
+    pads the minor 4 up to 128 on TPU, a measured 32x memory expansion that
+    OOM'd HBM at one 8192-ray slice), lin [C, K, nvox] -> vals
+    [C, K, nvox, 4] via an unrolled compare-select reduction per step (pure
+    VPU work).  Rematerialized under AD — the backward (a compare-masked
+    broadcast accumulation) recomputes the comparisons instead of saving
+    [C, K, 512] masks per step.
     """
     nvox = lin.shape[2]
-    vox = jnp.arange(rows.shape[2], dtype=jnp.int32)
+    nv = rows.shape[2] // 4
+    vox = jnp.arange(nv, dtype=jnp.int32)
     outs = []
     for j in range(nvox):
         sel = lin[:, :, j, None] == vox                     # [C, K, 512]
-        outs.append(jnp.sum(jnp.where(sel[..., None], rows, 0.0), axis=2))
+        outs.append(jnp.stack(
+            [jnp.sum(jnp.where(sel, rows[:, :, f * nv:(f + 1) * nv], 0.0),
+                     axis=2) for f in range(4)], axis=-1))  # [C, K, 4]
     return jnp.stack(outs, axis=2)
 
 
 def _row_chunk_grad(o_cells, direction, cells, nd, ncode, enorm, cellmap,
-                    sse_acc, dfield_acc, field3, background, target,
-                    grid: GridConfig, k_segments: int):
+                    sse_acc, dfield_acc, field2, background, target,
+                    grid: GridConfig, k_segments: int,
+                    interpret: bool = False):
     """One chunk's SSE + gradients at brick-row granularity.
 
-    ``field3`` is [P, 512, 4] (occ + rgb packed); ``dfield_acc`` matches.
-    Differentiates w.r.t. the *gathered rows* and scatter-adds one [512, 4]
-    cotangent row per segment — the accumulator never materializes per-chunk
-    full-field adjoints.
+    ``field2`` is [P, 4*512] flat (columns f*512 + v — see
+    :func:`_extract_rows` for why the layout must stay 2-D);
+    ``dfield_acc`` matches.  Differentiates w.r.t. the *gathered rows* and
+    scatter-adds one [4*512] cotangent row per segment — the accumulator
+    never materializes per-chunk full-field adjoints.  Extraction runs in
+    the one-pass Pallas kernel (:mod:`brickmap_tpu.pallas.extract`); the
+    composite uses the channel-split core so nothing materializes with a
+    sub-lane minor dim.
     """
+    from ..pallas.extract import extract_rows_pallas
+
     c = o_cells.shape[0]
+    k = k_segments
     nvox = 3 * grid.brick_size - 2
     slots, lin, mask = _segment_geom(o_cells, direction, cells, nd, ncode,
                                      enorm, cellmap, grid, k_segments)
-    rows = jnp.take(field3, slots, axis=0)          # [C, K, 512, 4]
+    rows2 = jnp.take(field2, slots.reshape(-1), axis=0)   # [C*K, 4*512]
+    # Invalid steps must extract 0 (not voxel 0's value): poison their lin.
+    lin2 = jnp.where(mask, lin, -1).reshape(c * k, nvox)
 
-    def sse_fn(rows):
-        vals = _extract_rows(rows, lin)             # [C, K, nvox, 4]
-        occ = vals[..., 0].reshape(c, k_segments * nvox)
-        alb = vals[..., 1:].reshape(c, k_segments * nvox, 3)
-        rgb, _ = _composite_raw(occ, alb,
-                                mask.reshape(c, k_segments * nvox),
-                                background)
+    def kv(a):
+        """[C*K, nvox] (k-major rows) -> [C, K*nvox] per-ray sequence."""
+        return a.reshape(c, k * nvox)
+
+    def sse_fn(rows2):
+        vals = extract_rows_pallas(rows2, lin2, interpret)  # [C*K, 4*nvox]
+        occ = kv(vals[:, :nvox])
+        alb = [kv(vals[:, (1 + ch) * nvox:(2 + ch) * nvox])
+               for ch in range(3)]
+        occ_v = jnp.where(mask.reshape(c, k * nvox),
+                          jnp.clip(occ, 0.0, 1.0), 0.0)
+        rgb, _ = _composite_core3(occ_v, *alb, background)
         return jnp.sum((rgb - target) ** 2)
 
-    sse, d_rows = jax.value_and_grad(sse_fn)(rows)
-    dfield_acc = dfield_acc.at[slots.reshape(-1)].add(
-        d_rows.reshape(-1, *field3.shape[1:]))
+    sse, d_rows = jax.value_and_grad(sse_fn)(rows2)
+    dfield_acc = dfield_acc.at[slots.reshape(-1)].add(d_rows)
     return sse_acc + sse, dfield_acc
 
 
 def _row_scan_grads(o_cells, direction, cells, nd, ncode, enorm, cellmap,
-                    field3, background, target, grid: GridConfig,
-                    k_segments: int, chunk: int):
+                    field2, background, target, grid: GridConfig,
+                    k_segments: int, chunk: int, interpret: bool = False):
     """Whole-frame row-granular gradients: ONE program, a lax.scan over
     ``chunk``-ray slices carrying (sse, dfield) accumulators.
 
@@ -490,18 +562,32 @@ def _row_scan_grads(o_cells, direction, cells, nd, ncode, enorm, cellmap,
     def body(carry, x):
         sse_acc, dfield_acc = carry
         o_c, d_c, cells_c, nd_c, ncode_c, enorm_c, bg_c, tgt_c = x
-        carry = _row_chunk_grad(
-            o_c, d_c, cells_c, nd_c, ncode_c, enorm_c, cellmap,
-            sse_acc, dfield_acc, field3, bg_c, tgt_c, grid, k_segments)
+
+        def full(carry):
+            return _row_chunk_grad(
+                o_c, d_c, cells_c, nd_c, ncode_c, enorm_c, cellmap,
+                carry[0], carry[1], field2, bg_c, tgt_c, grid, k_segments,
+                interpret=interpret)
+
+        def empty(carry):
+            # No recorded segments in the slice: rgb == bg exactly, zero
+            # field gradients — the replay reduces to a closed form.  The
+            # caller sorts segment-less rays to the tail, so whole slices
+            # of sky rays skip the gather/extract/scatter machinery.
+            return carry[0] + jnp.sum((bg_c - tgt_c) ** 2), carry[1]
+
+        # Segments are front-packed per ray: any segment => cells[:, 0] >= 0.
+        carry = jax.lax.cond(jnp.max(cells_c[:, 0]) >= 0, full, empty,
+                             carry)
         return carry, None
 
     (sse, dfield), _ = jax.lax.scan(
-        body, (jnp.zeros((), jnp.float32), jnp.zeros_like(field3)), xs)
+        body, (jnp.zeros((), jnp.float32), jnp.zeros_like(field2)), xs)
     return sse, dfield
 
 
 _row_scan_grads_jit = partial(
-    jax.jit, static_argnames=("grid", "k_segments", "chunk"))(
+    jax.jit, static_argnames=("grid", "k_segments", "chunk", "interpret"))(
     _row_scan_grads)
 
 
@@ -562,6 +648,26 @@ def _pack_field(occupancy, albedo):
         [occupancy.reshape(-1, 1), albedo.reshape(-1, 3)], axis=1)
 
 
+@jax.jit
+def _pack_field2(occupancy, albedo):
+    """(occ [P,512], alb [P,512,3]) -> flat [P, 4*512] (columns f*512 + v).
+
+    The row path's gather/scatter unit; flat 2-D so no array in the replay
+    carries a sub-lane minor dim (see :func:`_extract_rows`)."""
+    return jnp.concatenate(
+        [occupancy] + [albedo[:, :, c] for c in range(3)], axis=1)
+
+
+@partial(jax.jit, static_argnames=("denom", "pshape"))
+def _finalize2(sse, dfield2, denom: int, pshape: tuple):
+    inv = jnp.float32(1.0 / denom)
+    nv = dfield2.shape[1] // 4
+    docc = (dfield2[:, :nv] * inv).reshape(pshape)
+    dalb = jnp.stack([dfield2[:, (1 + c) * nv:(2 + c) * nv] * inv
+                      for c in range(3)], axis=-1).reshape(*pshape, 3)
+    return sse * inv, (docc, dalb)
+
+
 def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
                              albedo, background, target, grid: GridConfig,
                              k_segments: int = 16,
@@ -613,19 +719,28 @@ def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
                            k_segments=k_segments, interpret=interpret)
 
     pshape = occupancy.shape
-    field = _pack_field(occupancy, albedo)
     traced = isinstance(origin, jax.core.Tracer)
     if row_replay:
-        bsz3 = grid.brick_size ** 3
-        field3 = field.reshape(-1, bsz3, 4)
+        # Group segment-less rays (sky/miss; half the frame on terrain
+        # views) at the tail — whole scan slices of them take the
+        # closed-form branch.  Stable, so page coherence survives within
+        # each group; the loss is order-invariant.
+        has_seg = segs["cells"][:, 0] >= 0
+        order2 = jnp.argsort(~has_seg, stable=True)
+
+        def take2(a):
+            return jnp.take(a, order2, axis=0)
+
+        field2 = _pack_field2(occupancy, albedo)
         fn = _row_scan_grads if traced else _row_scan_grads_jit
-        sse, dfield = fn(
-            segs["o_cells"], direction, segs["cells"], segs["nd"],
-            segs["ncode"], segs["entry_normal"], cellmap, field3,
-            background, target, grid, k_segments,
-            chunk=min(host_chunk, 8192))
-        return _finalize(sse, dfield.reshape(-1, 4), denom=n * 3,
-                         pshape=pshape)
+        sse, dfield2 = fn(
+            take2(segs["o_cells"]), take2(direction), take2(segs["cells"]),
+            take2(segs["nd"]), take2(segs["ncode"]),
+            take2(segs["entry_normal"]), cellmap, field2,
+            take2(background), take2(target), grid, k_segments,
+            chunk=min(host_chunk, 8192), interpret=interpret)
+        return _finalize2(sse, dfield2, denom=n * 3, pshape=pshape)
+    field = _pack_field(occupancy, albedo)
     if traced and n > host_chunk:
         # Inside a trace (shard_map shard bigger than one program's memory
         # budget): bounded-memory scan chunking instead of silently taking

@@ -255,11 +255,16 @@ def test_rescue_pass_zeroes_exhausted(world):
         paged_phases=1))
     key = jax.random.PRNGKey(35)
 
-    # The starved budget really does exhaust lanes on the raw kernel...
+    # The starved budget really does exhaust lanes on the raw kernel (the
+    # rescue now runs INSIDE _trace_stage, so probe the kernel directly)...
+    from brickmap_tpu.pallas.traverse3 import trace_rays_paged
+
     st = pathtrace._primary_state(jax.random.split(key)[0], arrays, cfg_t,
                                   W, H)
-    raw = pathtrace._trace_stage(st, psc, cam_brick, cfg_t, None)
-    assert int(np.asarray(raw["exh_n"])) > 0
+    raw = trace_rays_paged(st["origins"], st["dirs"], psc, cam_brick,
+                           cfg_t.grid, max_page_rounds=2, march_steps=2,
+                           phase_iters=1, interpret=True)
+    assert int(np.asarray(raw["exhausted"]).sum()) > 0
 
     # ...but the wave-level rescue retraces them to completion.
     rgb, count, req = pathtrace.render_wave(key, psc, arrays, cam_brick,
