@@ -370,10 +370,11 @@ def _cmd_inverse_sparse(args) -> int:
     state = opt.init((occ, alb))
     t0 = time.perf_counter()
     loss0 = None
+    seg_cache: dict = {}   # record + sorts are loop-invariant (fixed rays)
     for step in range(args.steps):
         loss, (docc, dalb) = l2_loss_and_grads_sparse(
             origins, dirs, psc, cellmap, occ, alb, bg, target, grid,
-            k_segments=8, interpret=interpret)
+            k_segments=8, interpret=interpret, seg_cache=seg_cache)
         if loss0 is None:
             loss0 = float(loss)
         updates, state = opt.update((docc, dalb), state)

@@ -591,6 +591,47 @@ _row_scan_grads_jit = partial(
     _row_scan_grads)
 
 
+@partial(jax.jit, static_argnames=("grid",))
+def _page_sort(origin, direction, background, target, grid: GridConfig):
+    """(superchunk page, direction octant) coherence sort as ONE program —
+    op-by-op sorting on the host path costs a tunnel dispatch per op."""
+    s16 = float(grid.brick_size * grid.supergrid_cell_size)
+    q = jnp.clip((origin / s16).astype(jnp.int32), 0,
+                 max(grid.supergrid_xy, grid.supergrid_z) - 1)
+    page = (q[:, 0] + q[:, 1] * grid.supergrid_xy
+            + q[:, 2] * grid.supergrid_xy ** 2)
+    octant = ((direction[:, 0] > 0).astype(jnp.int32)
+              + 2 * (direction[:, 1] > 0).astype(jnp.int32)
+              + 4 * (direction[:, 2] > 0).astype(jnp.int32))
+    order = jnp.argsort(page * 8 + octant)
+    return tuple(jnp.take(a, order, axis=0)
+                 for a in (origin, direction, background, target))
+
+
+@jax.jit
+def _count_sort(cells, o_cells, direction, nd, ncode, enorm, bg, tgt):
+    """Segment-less rays to the tail (stable; ONE program) + live count."""
+    has_seg = cells[:, 0] >= 0
+    order2 = jnp.argsort(~has_seg, stable=True)
+
+    def t(a):
+        return jnp.take(a, order2, axis=0)
+
+    return (t(o_cells), t(direction), t(cells), t(nd), t(ncode), t(enorm),
+            t(bg), t(tgt)), jnp.sum(has_seg.astype(jnp.int32))
+
+
+@jax.jit
+def _sky_sse(bg, tgt, n_run):
+    """SSE of the segment-less tail (rays [n_run:] after the count sort):
+    no recorded segments means rgb == bg exactly, so the replay reduces to
+    one masked reduction over static shapes (``n_run`` is a device scalar —
+    no per-count recompiles)."""
+    idx = jnp.arange(bg.shape[0], dtype=jnp.int32)
+    err = jnp.sum((bg - tgt) ** 2, axis=1)
+    return jnp.sum(jnp.where(idx >= n_run, err, 0.0))
+
+
 def _scan_grad_acc(o_cells, direction, cells, nd, ncode, enorm, cellmap,
                    field, background, target, grid: GridConfig,
                    k_segments: int, chunk: int):
@@ -673,8 +714,15 @@ def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
                              k_segments: int = 16,
                              host_chunk: int = 262144,
                              interpret: bool = False,
-                             row_replay: bool = True):
+                             row_replay: bool = True,
+                             seg_cache: dict | None = None):
     """L2 image loss + gradients w.r.t. the sparse pool fields.
+
+    ``seg_cache``: optional dict owned by the caller.  The record phase and
+    both coherence sorts depend only on (rays, scene geometry) — an
+    optimization loop over the FIELDS passes the same dict every step and
+    pays them once (rays/targets/scene must stay fixed; pass a fresh dict
+    when they change).
 
     The record phase runs the Pallas kernel once (non-differentiable); the
     loss/grad phase replays the bounded-K segments.
@@ -697,49 +745,68 @@ def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
     single-program path.
     """
     n = origin.shape[0]
-    # Page-coherence sort (loss and grads are order-invariant, so no unsort):
-    # tiles of rays sharing (superchunk page, direction octant) keep the
-    # record kernel's page votes unanimous — measured 10-20x on incoherent
-    # ray sets (notes/PERF.md), same key as the path tracer's compact sort.
-    s16 = float(grid.brick_size * grid.supergrid_cell_size)
-    q = jnp.clip((origin / s16).astype(jnp.int32), 0,
-                 max(grid.supergrid_xy, grid.supergrid_z) - 1)
-    page = (q[:, 0] + q[:, 1] * grid.supergrid_xy
-            + q[:, 2] * grid.supergrid_xy ** 2)
-    octant = ((direction[:, 0] > 0).astype(jnp.int32)
-              + 2 * (direction[:, 1] > 0).astype(jnp.int32)
-              + 4 * (direction[:, 2] > 0).astype(jnp.int32))
-    order = jnp.argsort(page * 8 + octant)
-    origin = jnp.take(origin, order, axis=0)
-    direction = jnp.take(direction, order, axis=0)
-    background = jnp.take(background, order, axis=0)
-    target = jnp.take(target, order, axis=0)
-
-    segs = record_segments(origin, direction, pscene, grid,
-                           k_segments=k_segments, interpret=interpret)
-
     pshape = occupancy.shape
     traced = isinstance(origin, jax.core.Tracer)
+    # Segment cache: record + sorts + counts depend only on (rays, scene)
+    # geometry, not on the fields being optimized — an optimization loop
+    # passes one dict and pays them once (host path only; under a trace the
+    # cache holds tracers from another program and is ignored).
+    use_cache = (row_replay and not traced and seg_cache is not None
+                 and "geo" in seg_cache)
+    if not use_cache:
+        # Page-coherence sort (loss and grads are order-invariant, so no
+        # unsort): tiles of rays sharing (superchunk page, direction
+        # octant) keep the record kernel's page votes unanimous — measured
+        # 10-20x on incoherent ray sets (notes/PERF.md).
+        origin, direction, background, target = _page_sort(
+            origin, direction, background, target, grid)
+        segs = record_segments(origin, direction, pscene, grid,
+                               k_segments=k_segments, interpret=interpret)
+
     if row_replay:
-        # Group segment-less rays (sky/miss; half the frame on terrain
-        # views) at the tail — whole scan slices of them take the
-        # closed-form branch.  Stable, so page coherence survives within
-        # each group; the loss is order-invariant.
-        has_seg = segs["cells"][:, 0] >= 0
-        order2 = jnp.argsort(~has_seg, stable=True)
-
-        def take2(a):
-            return jnp.take(a, order2, axis=0)
-
         field2 = _pack_field2(occupancy, albedo)
-        fn = _row_scan_grads if traced else _row_scan_grads_jit
-        sse, dfield2 = fn(
-            take2(segs["o_cells"]), take2(direction), take2(segs["cells"]),
-            take2(segs["nd"]), take2(segs["ncode"]),
-            take2(segs["entry_normal"]), cellmap, field2,
-            take2(background), take2(target), grid, k_segments,
-            chunk=min(host_chunk, 8192), interpret=interpret)
-        return _finalize2(sse, dfield2, denom=n * 3, pshape=pshape)
+        if use_cache:
+            geo, n_live_dev = seg_cache["geo"], seg_cache["n_live"]
+        else:
+            # Segment-less rays (sky/miss; half the frame on terrain
+            # views) group at the tail; stable, so page coherence survives
+            # within each group.
+            geo, n_live_dev = _count_sort(
+                segs["cells"], segs["o_cells"], direction, segs["nd"],
+                segs["ncode"], segs["entry_normal"], background, target)
+        if traced:
+            # Inside jit/shard_map the live count is dynamic: scan over all
+            # slices, segment-less ones take the closed-form lax.cond
+            # branch inside the scan body.
+            sse, dfield2 = _row_scan_grads(
+                geo[0], geo[1], geo[2], geo[3], geo[4], geo[5], cellmap,
+                field2, geo[6], geo[7], grid, k_segments,
+                chunk=min(host_chunk, 8192), interpret=interpret)
+            return _finalize2(sse, dfield2, denom=n * 3, pshape=pshape)
+        # Host path: trim the scan to the live prefix outright (one scalar
+        # pull).  The prefix length is bucketed so optimization loops with
+        # drifting counts compile at most ~8 scan shapes; the segment-less
+        # tail contributes rgb == bg exactly, folded in as ONE masked
+        # reduction over static shapes.  Slice size: big slices amortize
+        # per-slice fixed costs, but never pad a small input up to the cap
+        # (interpret-mode tests would crawl).
+        chunkv = min(host_chunk, 16384, -(-n // 1024) * 1024)
+        n_live = int(n_live_dev)
+        if seg_cache is not None:
+            seg_cache["geo"], seg_cache["n_live"] = geo, n_live_dev
+        bucket = chunkv * max(1, -(-n // (8 * chunkv)))
+        n_run = min(n, -(-max(n_live, 1) // bucket) * bucket)
+        sse_sky = _sky_sse(geo[6], geo[7], jnp.int32(n_run))
+        if n_live == 0:
+            return _finalize2(sse_sky, jnp.zeros_like(field2),
+                              denom=n * 3, pshape=pshape)
+        sse, dfield2 = _row_scan_grads_jit(
+            geo[0][:n_run], geo[1][:n_run], geo[2][:n_run], geo[3][:n_run],
+            geo[4][:n_run], geo[5][:n_run], cellmap, field2,
+            geo[6][:n_run], geo[7][:n_run], grid, k_segments,
+            chunk=chunkv, interpret=interpret)
+        return _finalize2(sse + sse_sky, dfield2, denom=n * 3,
+                          pshape=pshape)
     field = _pack_field(occupancy, albedo)
     if traced and n > host_chunk:
         # Inside a trace (shard_map shard bigger than one program's memory

@@ -60,6 +60,8 @@ marks = []
 
 def mark(name):
     marks.append((name, time.perf_counter()))
+    if len(marks) > 1:
+        print(f"  ..{name}: {marks[-1][1] - marks[-2][1]:.1f}s", flush=True)
 
 
 def run(tag):

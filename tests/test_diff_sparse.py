@@ -178,6 +178,25 @@ def test_row_replay_matches_voxel_replay(sparse_world, rng):
     np.testing.assert_allclose(np.asarray(gov), np.asarray(gor), atol=1e-6)
     np.testing.assert_allclose(np.asarray(gav), np.asarray(gar), atol=1e-6)
 
+    # Cached record/sorts (the optimizer-loop path): fill on first call,
+    # reuse on the second with DIFFERENT field values — identical to fresh.
+    cache: dict = {}
+    l2_loss_and_grads_sparse(*args, k_segments=6, interpret=True,
+                             host_chunk=256, seg_cache=cache)
+    assert "geo" in cache
+    occ2 = jnp.asarray(occ * 0.9)
+    lc, (goc, gac) = l2_loss_and_grads_sparse(
+        jnp.asarray(origins), jnp.asarray(dirs), psc, cellmap, occ2,
+        jnp.asarray(alb), jnp.asarray(bg), jnp.asarray(tgt), GRID,
+        k_segments=6, interpret=True, host_chunk=256, seg_cache=cache)
+    lf, (gof, gaf) = l2_loss_and_grads_sparse(
+        jnp.asarray(origins), jnp.asarray(dirs), psc, cellmap, occ2,
+        jnp.asarray(alb), jnp.asarray(bg), jnp.asarray(tgt), GRID,
+        k_segments=6, interpret=True, host_chunk=256)
+    np.testing.assert_allclose(float(lc), float(lf), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(goc), np.asarray(gof), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gac), np.asarray(gaf), atol=1e-6)
+
 
 def test_sparse_gradients_fd(sparse_world, rng):
     """Finite-difference check of d(loss)/d(occupancy, albedo)."""
