@@ -781,7 +781,8 @@ def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
             sse, dfield2 = _row_scan_grads(
                 geo[0], geo[1], geo[2], geo[3], geo[4], geo[5], cellmap,
                 field2, geo[6], geo[7], grid, k_segments,
-                chunk=min(host_chunk, 8192), interpret=interpret)
+                chunk=min(host_chunk, 8192, -(-n // 1024) * 1024),
+                interpret=interpret)
             return _finalize2(sse, dfield2, denom=n * 3, pshape=pshape)
         # Host path: trim the scan to the live prefix outright (one scalar
         # pull).  The prefix length is bucketed so optimization loops with
