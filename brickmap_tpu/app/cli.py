@@ -84,10 +84,36 @@ def _camera_for(args, position, look):
                   lens_radius=args.lens_radius)
 
 
+def _apply_camera_input(cam, deltas, move_scale: float):
+    """Fly-camera update from preview input deltas (camera.cpp:3-46):
+    move = [forward, right, up] impulses, rot = [dyaw, dpitch] radians."""
+    import math
+
+    from ..render.camera import Camera
+
+    d = np.asarray(cam.direction, np.float64)
+    yaw = math.atan2(d[0], d[1])            # camera.cpp:49-53 convention
+    pitch = math.asin(max(-1.0, min(1.0, d[2])))
+    yaw += deltas["rot"][0]
+    pitch = max(-1.55, min(1.55, pitch + deltas["rot"][1]))
+    fwd = np.array([math.cos(pitch) * math.sin(yaw),
+                    math.cos(pitch) * math.cos(yaw), math.sin(pitch)])
+    right = np.cross(fwd, [0.0, 0.0, 1.0])
+    right /= max(np.linalg.norm(right), 1e-9)
+    pos = (np.asarray(cam.position, np.float64)
+           + move_scale * (deltas["move"][0] * fwd
+                           + deltas["move"][1] * right
+                           + deltas["move"][2] * np.array([0.0, 0.0, 1.0])))
+    return Camera.from_angles(tuple(pos), yaw, pitch,
+                              focal_distance=cam.focal_distance,
+                              lens_radius=cam.lens_radius)
+
+
 def cmd_render(args) -> int:
     """Progressive render; with --turntable, a scripted camera path with
     accumulation reset on every camera move (the reference's interactive
-    reset, kernel.cu:387-403, driven by waypoints instead of WASD)."""
+    reset, kernel.cu:387-403, driven by waypoints instead of WASD).  With
+    --serve, the preview page's WASD/arrow input flies the camera live."""
     import jax
     import jax.numpy as jnp
 
@@ -150,7 +176,7 @@ def cmd_render(args) -> int:
     if args.serve is not None:
         from ..utils.preview import PreviewServer
 
-        server = PreviewServer(args.serve)
+        server = PreviewServer(args.serve, host=args.serve_host)
         print(f"live preview: http://localhost:{server.port}/",
               file=sys.stderr)
 
@@ -162,8 +188,11 @@ def cmd_render(args) -> int:
     wave_idx = 0
     prof = profile_trace(args.profile)
     prof.__enter__()
+    # Preview fly-camera: once input arrives it overrides the schedule.
+    override_cam = None
+    move_scale = max(args.world / 128.0, 1.0)
     for frame in range(frames):
-        cam = camera_at(frame)
+        cam = override_cam if override_cam is not None else camera_at(frame)
         if cam != prev_cam:
             # Accumulation reset on camera change (kernel.cu:387-403).
             film = pathtrace.film_init(args.width, args.height)
@@ -211,7 +240,22 @@ def cmd_render(args) -> int:
                     server.update(
                         img, frame=frame, wave=s + 1, spp=args.spp,
                         wave_ms=round(dt * 1000, 1),
-                        mrays_s=round(int(req["traced_rays"]) / dt / 1e6, 2))
+                        mrays_s=round(int(req["traced_rays"]) / dt / 1e6, 2),
+                        camera=[round(p, 1) for p in cam.position])
+            if server is not None:
+                deltas = server.pop_camera()
+                if deltas is not None:
+                    # Apply preview fly-camera input between waves: move the
+                    # camera and restart accumulation (the reference applies
+                    # input per frame, main.cpp:119-127 + kernel.cu:387-403).
+                    override_cam = _apply_camera_input(cam, deltas,
+                                                       move_scale)
+                    cam = override_cam
+                    film = pathtrace.film_init(args.width, args.height)
+                    arrays = pathtrace.camera_arrays_for(
+                        cam, sun, args.width, args.height)
+                    cam_brick = jnp.asarray(cam.brick_position, jnp.int32)
+                    prev_cam = cam
         img = np.asarray(pathtrace.tonemap(film, args.width, args.height))
         out = args.out if frames == 1 else \
             args.out.replace(".png", f"_{frame:03d}.png")
@@ -493,7 +537,11 @@ def main(argv=None) -> int:
     pr.add_argument("--serve", type=int, default=None, metavar="PORT",
                     help="serve a live progressive preview + stats over HTTP "
                          "on PORT (the reference's interactive window, "
-                         "main.cpp:26-190, as a browser view; 0 = any port)")
+                         "main.cpp:26-190, as a browser view with WASD fly-"
+                         "camera input; 0 = any port)")
+    pr.add_argument("--serve-host", default="127.0.0.1",
+                    help="bind address for --serve (default loopback only; "
+                         "set 0.0.0.0 to expose externally)")
     pr.add_argument("--turntable", type=int, default=0,
                     help="render N frames orbiting --look (accumulation "
                          "resets per camera move); frames saved as "

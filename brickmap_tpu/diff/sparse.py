@@ -751,8 +751,15 @@ def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
     # geometry, not on the fields being optimized — an optimization loop
     # passes one dict and pays them once (host path only; under a trace the
     # cache holds tracers from another program and is ignored).
+    # Cache key: identity of the ray/target arrays (held strongly in the
+    # dict, so CPython cannot reuse the ids for different arrays).  A caller
+    # that swaps rays or targets while reusing the dict gets a refresh
+    # instead of silently wrong loss/grads (ADVICE r4).
+    cache_key = (id(origin), id(direction), id(background), id(target))
+    key_arrays = (origin, direction, background, target)
     use_cache = (row_replay and not traced and seg_cache is not None
-                 and "geo" in seg_cache)
+                 and "geo" in seg_cache
+                 and seg_cache.get("key") == cache_key)
     if not use_cache:
         # Page-coherence sort (loss and grads are order-invariant, so no
         # unsort): tiles of rays sharing (superchunk page, direction
@@ -795,12 +802,18 @@ def l2_loss_and_grads_sparse(origin, direction, pscene, cellmap, occupancy,
         n_live = int(n_live_dev)
         if seg_cache is not None:
             seg_cache["geo"], seg_cache["n_live"] = geo, n_live_dev
-        bucket = chunkv * max(1, -(-n // (8 * chunkv)))
-        n_run = min(n, -(-max(n_live, 1) // bucket) * bucket)
-        sse_sky = _sky_sse(geo[6], geo[7], jnp.int32(n_run))
+            seg_cache["key"] = cache_key
+            seg_cache["key_arrays"] = key_arrays
         if n_live == 0:
-            return _finalize2(sse_sky, jnp.zeros_like(field2),
+            # All-miss frame: the whole frame is the segment-less tail, so
+            # the sky SSE covers every ray (n_run=0), not just [n_run:]
+            # (ADVICE r4: the old code dropped rays [0, n_run) here).
+            return _finalize2(_sky_sse(geo[6], geo[7], jnp.int32(0)),
+                              jnp.zeros_like(field2),
                               denom=n * 3, pshape=pshape)
+        bucket = chunkv * max(1, -(-n // (8 * chunkv)))
+        n_run = min(n, -(-n_live // bucket) * bucket)
+        sse_sky = _sky_sse(geo[6], geo[7], jnp.int32(n_run))
         sse, dfield2 = _row_scan_grads_jit(
             geo[0][:n_run], geo[1][:n_run], geo[2][:n_run], geo[3][:n_run],
             geo[4][:n_run], geo[5][:n_run], cellmap, field2,

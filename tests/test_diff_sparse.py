@@ -180,15 +180,23 @@ def test_row_replay_matches_voxel_replay(sparse_world, rng):
 
     # Cached record/sorts (the optimizer-loop path): fill on first call,
     # reuse on the second with DIFFERENT field values — identical to fresh.
+    # The cache keys on ray/target array IDENTITY, so bind them once (as a
+    # real optimizer loop does).
+    o_j, d_j = jnp.asarray(origins), jnp.asarray(dirs)
+    bg_j, tgt_j = jnp.asarray(bg), jnp.asarray(tgt)
     cache: dict = {}
-    l2_loss_and_grads_sparse(*args, k_segments=6, interpret=True,
+    l2_loss_and_grads_sparse(o_j, d_j, psc, cellmap, jnp.asarray(occ),
+                             jnp.asarray(alb), bg_j, tgt_j, GRID,
+                             k_segments=6, interpret=True,
                              host_chunk=256, seg_cache=cache)
     assert "geo" in cache
+    geo_id = id(cache["geo"])
     occ2 = jnp.asarray(occ * 0.9)
     lc, (goc, gac) = l2_loss_and_grads_sparse(
-        jnp.asarray(origins), jnp.asarray(dirs), psc, cellmap, occ2,
-        jnp.asarray(alb), jnp.asarray(bg), jnp.asarray(tgt), GRID,
+        o_j, d_j, psc, cellmap, occ2,
+        jnp.asarray(alb), bg_j, tgt_j, GRID,
         k_segments=6, interpret=True, host_chunk=256, seg_cache=cache)
+    assert id(cache["geo"]) == geo_id            # cache actually reused
     lf, (gof, gaf) = l2_loss_and_grads_sparse(
         jnp.asarray(origins), jnp.asarray(dirs), psc, cellmap, occ2,
         jnp.asarray(alb), jnp.asarray(bg), jnp.asarray(tgt), GRID,
@@ -196,6 +204,44 @@ def test_row_replay_matches_voxel_replay(sparse_world, rng):
     np.testing.assert_allclose(float(lc), float(lf), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(goc), np.asarray(gof), atol=1e-6)
     np.testing.assert_allclose(np.asarray(gac), np.asarray(gaf), atol=1e-6)
+
+    # A warm cache keyed to OTHER rays/targets must refresh, not silently
+    # serve the stale geometry (ADVICE r4): different targets through the
+    # same dict give the same answer as a fresh call.
+    tgt2 = jnp.asarray(np.full((n, 3), 0.8, np.float32))
+    ls, (gos, gas) = l2_loss_and_grads_sparse(
+        o_j, d_j, psc, cellmap, occ2, jnp.asarray(alb), bg_j, tgt2, GRID,
+        k_segments=6, interpret=True, host_chunk=256, seg_cache=cache)
+    lfresh, (gofr, gafr) = l2_loss_and_grads_sparse(
+        o_j, d_j, psc, cellmap, occ2, jnp.asarray(alb), bg_j, tgt2, GRID,
+        k_segments=6, interpret=True, host_chunk=256)
+    np.testing.assert_allclose(float(ls), float(lfresh), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gos), np.asarray(gofr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gas), np.asarray(gafr), atol=1e-6)
+
+
+def test_all_miss_frame_loss(sparse_world):
+    """A frame where every ray misses must still report the sky SSE
+    (ADVICE r4: the n_live == 0 branch dropped rays [0, n_run) and returned
+    loss 0.0 for fully-miss frames)."""
+    dense, sc, psc, cellmap, occ, alb = sparse_world
+    n = 300
+    rng2 = np.random.default_rng(11)
+    # Rays starting above the world pointing straight up: all miss.
+    origins = np.array([[64.0, 64.0, 200.0]] * n, np.float32)
+    dirs = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (n, 1))
+    bg = rng2.uniform(0, 1, (n, 3)).astype(np.float32)
+    tgt = rng2.uniform(0, 1, (n, 3)).astype(np.float32)
+    expected = float(np.sum((bg - tgt) ** 2) / (n * 3))
+
+    loss, (go, ga) = l2_loss_and_grads_sparse(
+        jnp.asarray(origins), jnp.asarray(dirs), psc, cellmap,
+        jnp.asarray(occ * 0.7), jnp.asarray(alb), jnp.asarray(bg),
+        jnp.asarray(tgt), GRID, k_segments=6, interpret=True,
+        host_chunk=256, row_replay=True)
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+    assert float(jnp.max(jnp.abs(go))) == 0.0
+    assert float(jnp.max(jnp.abs(ga))) == 0.0
 
 
 def test_sparse_gradients_fd(sparse_world, rng):

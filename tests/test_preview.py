@@ -37,3 +37,48 @@ def test_preview_server_serves_frames_and_stats():
         assert stats["wave"] == 4
     finally:
         srv.close()
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(f"http://127.0.0.1:{port}{path}",
+                                 data=json.dumps(payload).encode(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        return r.status
+
+
+def test_preview_camera_input_accumulates_and_drains():
+    srv = PreviewServer(0, host="127.0.0.1")
+    try:
+        assert srv.pop_camera() is None
+        assert _post(srv.port, "/camera",
+                     {"move": [1.0, 0.0, 0.5], "rot": [0.1, 0.0]}) == 204
+        assert _post(srv.port, "/camera",
+                     {"move": [0.5, -1.0, 0.0], "rot": [0.0, -0.2]}) == 204
+        d = srv.pop_camera()
+        assert d is not None
+        np.testing.assert_allclose(d["move"], [1.5, -1.0, 0.5])
+        np.testing.assert_allclose(d["rot"], [0.1, -0.2])
+        assert srv.pop_camera() is None          # drained
+    finally:
+        srv.close()
+
+
+def test_apply_camera_input_moves_and_turns():
+    from brickmap_tpu.app.cli import _apply_camera_input
+    from brickmap_tpu.render.camera import Camera
+
+    cam = Camera(position=(10.0, 10.0, 10.0), direction=(0.0, 1.0, 0.0))
+    # Pure forward move: position advances along +y, direction unchanged.
+    c2 = _apply_camera_input(cam, {"move": [2.0, 0.0, 0.0],
+                                   "rot": [0.0, 0.0]}, move_scale=1.0)
+    np.testing.assert_allclose(c2.position, (10.0, 12.0, 10.0), atol=1e-6)
+    np.testing.assert_allclose(c2.direction, (0.0, 1.0, 0.0), atol=1e-6)
+    # Quarter yaw turn: now facing +x (camera.cpp yaw convention).
+    c3 = _apply_camera_input(c2, {"move": [0.0, 0.0, 0.0],
+                                  "rot": [np.pi / 2, 0.0]}, move_scale=1.0)
+    np.testing.assert_allclose(c3.direction, (1.0, 0.0, 0.0), atol=1e-6)
+    # Up impulse is world-up regardless of pitch.
+    c4 = _apply_camera_input(c3, {"move": [0.0, 0.0, 3.0],
+                                  "rot": [0.0, 0.0]}, move_scale=2.0)
+    np.testing.assert_allclose(c4.position[2], c3.position[2] + 6.0)

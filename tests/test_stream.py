@@ -219,3 +219,65 @@ def test_paged_streaming_many_waves(truth, rng):
                                   np.asarray(full["hit"]))
     np.testing.assert_allclose(np.asarray(resident["t"]),
                                np.asarray(full["t"]), atol=1e-3)
+
+
+def test_paged_rejects_non_default_geometry():
+    """Non-default page/brick geometry must raise up front, not silently
+    corrupt the packed paged planes (VERDICT r4 weak #5)."""
+    from brickmap_tpu.pallas.paged import build_paged_scene
+
+    grid8 = GridConfig(grid_size=64, grid_height=64, supergrid_cell_size=8)
+    dense = np.zeros((64, 64, 64), bool)
+    dense[8:24, 16:48, 16:48] = True
+    sc = scene_mod.scene_from_dense(dense, grid8)
+    with pytest.raises(ValueError, match="supergrid_cell_size"):
+        build_paged_scene(sc, grid8)
+    with pytest.raises(ValueError, match="supergrid_cell_size"):
+        StreamingScene(sc, grid8, paged=True)
+    grid4 = GridConfig(grid_size=128, grid_height=128, brick_size=4)
+    dense4 = np.zeros((128, 128, 128), bool)
+    dense4[8:24, 16:48, 16:48] = True
+    sc4 = scene_mod.scene_from_dense(dense4, grid4)
+    with pytest.raises(ValueError, match="brick_size"):
+        StreamingScene(sc4, grid4, paged=True)
+
+
+def test_streaming_parity_non_default_grid(rng):
+    """Streaming on a supergrid_cell_size=8 world (XLA engine, which is
+    parameterized) converges to the freshly-built-scene image — the
+    request/scatter side must honor GridConfig, not assume the default."""
+    grid8 = GridConfig(grid_size=64, grid_height=64, supergrid_cell_size=8)
+    dense = np.zeros((64, 64, 64), bool)
+    dense[8:24, 16:48, 16:48] = rng.random((16, 32, 32)) < 0.6
+    truth8 = scene_mod.scene_from_dense(dense, grid8)
+
+    n = 128
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins = (np.array([32, 32, 16]) - dirs * 60).astype(np.float32)
+
+    def trace8(dev):
+        return trace_rays(
+            jnp.asarray(origins), jnp.asarray(dirs), dev.index_volume,
+            dev.pool_words, dev.pool_base, jnp.asarray(CAM, jnp.int32),
+            grid8, max_iters=512)
+
+    want = trace8(scene_mod.VoxelScene(
+        jnp.asarray(truth8.index_volume), jnp.asarray(truth8.pool_words),
+        jnp.asarray(truth8.pool_base)))
+
+    mgr = StreamingScene(truth8, grid8, queue_size=64)
+    for _ in range(50):
+        res = trace8(mgr.device_scene())
+        mask = np.asarray(res["request"])
+        if not mask.any():
+            break
+        if mgr.process_requests(
+                map(tuple, np.asarray(res["request_pos"])[mask])) == 0:
+            break
+    res = trace8(mgr.device_scene())
+    np.testing.assert_array_equal(np.asarray(res["hit"]),
+                                  np.asarray(want["hit"]))
+    np.testing.assert_allclose(np.asarray(res["t"]), np.asarray(want["t"]),
+                               atol=1e-3)
+    assert not np.asarray(res["request"]).any()
