@@ -395,13 +395,23 @@ def _pallas_brick_bench():
     o, d = jnp.asarray(origins), jnp.asarray(dirs)
     r = trace_single_brick(o, d, words)
     int(np.asarray(r["hit"]).sum())  # forced completion
+    # Pipelined timing: the kernel is ~35 ms per 2M-ray call while a host
+    # sync through the axon tunnel adds 120-170 ms of round-trip jitter —
+    # per-call syncs were the entire r1->r4 "regression" of this number
+    # (24.1 -> 14.9; notes/probe_brick_regress.py measured 13.4 per-call
+    # vs 63 pipelined on the same kernel).  K back-to-back calls with one
+    # sync amortize the round trip to ~1/K per call.
+    K = 8
     best = 1e9
     for rep in range(3):
-        o2 = o + rep * 1e-5
         t0 = time.perf_counter()
-        r = trace_single_brick(o2, d, words)
-        int(np.asarray(r["hit"]).sum())
-        best = min(best, time.perf_counter() - t0)
+        acc = None
+        for k in range(K):
+            r = trace_single_brick(o + (rep * K + k) * 1e-6, d, words)
+            a = r["hit"].astype(jnp.int32).sum()
+            acc = a if acc is None else acc + a
+        int(np.asarray(acc))
+        best = min(best, (time.perf_counter() - t0) / K)
     return n / best / 1e6
 
 

@@ -472,6 +472,9 @@ def trace_rays(origin, direction, index_volume, pool_words, pool_base,
                               axis=1),
         iters=final["it"],
         exhausted=final["active"],
+        # XLA paths never resume (re-trace from the origin); zeros keep the
+        # result pytree identical to the paged kernel's for shared callers.
+        resume_t=jnp.zeros_like(final["t"]),
     )
 
 
@@ -860,6 +863,9 @@ def trace_rays_blocked(origin, direction, index_volume, block_words,
                               axis=1),
         iters=final["it"],
         exhausted=final["active"],
+        # XLA paths never resume (re-trace from the origin); zeros keep the
+        # result pytree identical to the paged kernel's for shared callers.
+        resume_t=jnp.zeros_like(final["t"]),
     )
 
 

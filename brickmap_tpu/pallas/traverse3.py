@@ -233,7 +233,7 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                enx_ref, eny_ref, enz_ref, act_ref,
                hit_ref, t_ref, ncode_ref, req_ref, reqpos_ref, exh_ref,
-               rounds_ref, meta_s, poolT_s, sem_meta, sem_pool):
+               rounds_ref, resume_ref, meta_s, poolT_s, sem_meta, sem_pool):
         camx, camy, camz = cam_ref[0], cam_ref[1], cam_ref[2]
         scd = scd_ref[:]
 
@@ -772,6 +772,15 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
         reqpos_ref[0] = st["reqpos"]
         exh_ref[0] = st["alive"]
         rounds_ref[0] = jnp.full((8, 128), st["rnd"], i32)
+        # Resume distance for budget-exhausted lanes: entry t (cell units)
+        # of the cell the lane currently occupies.  The marched prefix is
+        # known unoccupied, so a rescue re-trace can clip the ray forward to
+        # just before this point instead of re-marching from the origin
+        # (notes/ROADMAP.md round-4 "rescue resume-from-t" lever).
+        ent = st["axis0"] >= 0
+        t_ax = _sel3(st["axis0"], st["tx"], st["ty"], st["tz"])
+        td_ax = _sel3(st["axis0"], tdx, tdy, tdz)
+        resume_ref[0] = jnp.where(ent, t_ax - td_ax, 0.0)
 
     return kernel
 
@@ -804,6 +813,7 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
         jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # reqpos
         jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # exhausted
         jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # rounds
+        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.float32),  # resume t
     ]
     return pl.pallas_call(
         kernel,
@@ -814,7 +824,7 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
             pl.BlockSpec(memory_space=pl.ANY),       # meta (HBM)
             pl.BlockSpec(memory_space=pl.ANY),       # poolT (HBM)
         ] + [tile] * 10,
-        out_specs=[tile] * 7,
+        out_specs=[tile] * 8,
         out_shape=out_sd,
         scratch_shapes=[
             # Leading dim 2: cross-round double buffer (round N's phases read
@@ -876,7 +886,7 @@ def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
     comps.append(act.reshape(t_tiles, 8, 128))
 
     cam = jnp.asarray(camera_brick_pos, jnp.int32)
-    hit, t, ncode, req, reqpos, exh, rounds = _paged_call(
+    hit, t, ncode, req, reqpos, exh, rounds, resume = _paged_call(
         cam, pscene.sc_dist, pscene.meta, pscene.poolT, tuple(comps), grid,
         max_page_rounds, march_steps, phase_iters, transit_iters,
         pages_per_round, pool_fanout, use_lod, streaming, interpret,
@@ -898,12 +908,20 @@ def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
     rp = unpad(reqpos)
     request_pos = jnp.stack([rp & 0x3FF, (rp >> 10) & 0x3FF,
                              (rp >> 20) & 0x3FF], axis=1).astype(jnp.int32)
+    exhausted = unpad(exh) != 0
+    # Resume distance in world/voxel units along the ORIGINAL ray (the
+    # kernel's t is in cell units from the clipped origin): where a lane
+    # exhausted its budget, a re-trace may start from just before this
+    # distance — the marched prefix is known empty.
+    resume_t = jnp.where(exhausted,
+                         unpad(resume) * float(grid.brick_size) + tminn, 0.0)
     return dict(
         hit=hit,
         t=jnp.where(hit, t, 0.0),
         normal=normal,
         request=unpad(req) != 0,
         request_pos=request_pos,
-        exhausted=unpad(exh) != 0,
+        exhausted=exhausted,
+        resume_t=jnp.maximum(resume_t, 0.0),
         iters=jnp.max(rounds),
     )

@@ -109,6 +109,7 @@ def _compact_trace(o_all, d_all, live, scene, cam_brick, cfg: BrickmapConfig,
         "request": back(res_c["request"], False),
         "request_pos": back(res_c["request_pos"], 0),
         "exhausted": back(res_c["exhausted"], False),
+        "resume_t": back(res_c["resume_t"], 0.0),
     }
 
 
@@ -122,6 +123,18 @@ def _pick_bucket(count: int, m: int) -> int | None:
         if count <= b and b <= m:
             return b
     return m
+
+
+def _ladder_buckets(m: int) -> list[int]:
+    """The static bucket ladder (same tiers as :func:`_pick_bucket`),
+    deduplicated ascending — the in-program bucket select switches over
+    these."""
+    out = []
+    for frac in (16, 4, 2, 1):
+        b = min(max(-(-m // frac) // 1024 * 1024, 4096), m)
+        if b not in out:
+            out.append(b)
+    return sorted(out)
 
 
 @jax.jit
@@ -220,33 +233,45 @@ def _rescue_bucket(m: int) -> int:
 
 def _bucketed_wave(key, st, scene, cam_brick, sun_dir, cfg: BrickmapConfig,
                    host_rescue: bool = False):
-    """Shared bounce loop with host-picked compaction buckets (the live
-    count is pulled per bounce; bounce 0 is always fully live).
+    """Shared bounce loop: trace -> exhausted-lane rescue -> shade per
+    bounce, with compaction-bucket choice ON DEVICE (``lax.switch`` over the
+    static ladder inside the trace program) so a wave runs with zero
+    per-bounce host round-trips — the dispatches pipeline through the
+    tunnel like the reference's uninterrupted kernel sequence
+    (kernel.cu:416-431).
 
-    Each bounce is trace stage -> exhausted-lane rescue -> shade stage; the
-    rescue guarantees zero budget-truncated rays in the wave result
-    (asserted by the benchmark harness).  The rescue normally runs INSIDE
-    the trace-stage program under ``lax.cond`` with a static
-    ``_rescue_bucket`` — no per-bounce host round-trip (a scalar pull per
-    stage serializes the tunnel pipeline, measured ~10% of a wave).
-    ``host_rescue=True`` is the retry mode for the (never yet observed)
-    case of more exhausted lanes than the static bucket: host-gated pulls
-    size an exact rescue bucket per stage."""
+    The in-program rescue (``lax.cond`` + static ``_rescue_bucket``)
+    guarantees zero budget-truncated rays in the wave result (asserted by
+    the benchmark harness), resuming exhausted lanes from their reported
+    entry distance.  ``host_rescue=True`` is the retry mode for the (never
+    yet observed) case of more exhausted lanes than the static bucket:
+    host-pulled live counts size exact per-stage buckets instead."""
     n = st["origins"].shape[0]
     k_loop = key
     for bounce in range(cfg.render.max_bounces + 1):
         k_loop, k_b = jax.random.split(k_loop)
-        bucket = None if bounce == 0 else _pick_bucket(_live_count(st), 2 * n)
-        res = _trace_stage(st, scene, cam_brick, cfg, bucket)
         if host_rescue:
+            bucket = None if bounce == 0 \
+                else _pick_bucket(_live_count(st), 2 * n)
+            res = _trace_stage(st, scene, cam_brick, cfg, bucket)
             res = _maybe_rescue(res, st, scene, cam_brick, cfg, 2 * n,
                                 final=False)
+        elif bounce == 0:
+            # Fully-live extension lanes + no shadow lanes yet: the fixed
+            # m/2 compaction needs no count.
+            res = _trace_stage(st, scene, cam_brick, cfg,
+                               _ladder_buckets(2 * n)[-2]
+                               if len(_ladder_buckets(2 * n)) > 1 else None)
+        else:
+            res = _trace_stage_ladder(st, scene, cam_brick, cfg)
         st = _shade_stage(jnp.int32(bounce), k_b, st, res, sun_dir, cfg)
-    fbucket = _pick_bucket(
-        int(jnp.sum(st["sh_active"].astype(jnp.int32))), n)
-    res = _final_trace_stage(st, scene, cam_brick, cfg, fbucket)
     if host_rescue:
+        fbucket = _pick_bucket(
+            int(jnp.sum(st["sh_active"].astype(jnp.int32))), n)
+        res = _final_trace_stage(st, scene, cam_brick, cfg, fbucket)
         res = _maybe_rescue(res, st, scene, cam_brick, cfg, n, final=True)
+    else:
+        res = _final_trace_stage_ladder(st, scene, cam_brick, cfg)
     return _final_accum_stage(st, res)
 
 
@@ -326,14 +351,24 @@ def _cond_rescue(res, o_all, d_all, scene, cam_brick, cfg: BrickmapConfig):
     exh = res["exhausted"]
 
     def do_rescue(_):
-        r2 = _compact_trace(o_all, d_all, exh, scene, cam_brick, rcfg,
-                            bucket)
+        # Resume-from-t: the exhausted lane's marched prefix is known empty
+        # (the kernel reports the entry distance of the cell it stopped in),
+        # so the rescue clips the ray forward to just before that point
+        # instead of re-marching from the origin — the re-trace only pays
+        # for the unexplored suffix.  The 2-voxel backstep absorbs float
+        # noise in the re-entry position.
+        off = jnp.where(exh, jnp.maximum(res["resume_t"] - 2.0, 0.0), 0.0)
+        r2 = _compact_trace(o_all + d_all * off[:, None], d_all, exh, scene,
+                            cam_brick, rcfg, bucket)
         pos = jnp.cumsum(exh.astype(jnp.int32)) - 1
         included = exh & (pos < bucket)
+        t2 = jnp.where(r2["hit"], r2["t"] + off, 0.0)
+        r2 = dict(r2, t=t2, resume_t=r2["resume_t"] + off)
         merged = {
             k: jnp.where(included if res[k].ndim == 1 else included[:, None],
                          r2[k], res[k])
-            for k in ("hit", "t", "normal", "request", "request_pos")
+            for k in ("hit", "t", "normal", "request", "request_pos",
+                      "resume_t")
         }
         still = (r2["exhausted"] & included) | (exh & ~included)
         # dict(res, ...) keeps pass-through keys (e.g. the paged kernel's
@@ -354,6 +389,43 @@ def _trace_stage(st, scene, cam_brick, cfg: BrickmapConfig,
                              bucket)
     res = _with_exh(res, live)
     return _cond_rescue(res, o_all, d_all, scene, cam_brick, cfg)
+
+
+def _ladder_switch(o_all, d_all, live, scene, cam_brick,
+                   cfg: BrickmapConfig):
+    """In-program bucket select: trace the live lanes through the smallest
+    ladder bucket that holds them, chosen with ``lax.switch`` on the device
+    live count.  Replaces the host-pulled ``_live_count`` bucket pick (a
+    scalar pull per bounce serialized the tunnel pipeline — measured ~10%
+    of a wave; the reference's frame is one uninterrupted kernel sequence,
+    kernel.cu:416-431).  Every branch feeds the same rescue, so results are
+    bit-identical to the host-picked equivalent."""
+    m = o_all.shape[0]
+    buckets = _ladder_buckets(m)
+    count = jnp.sum(live.astype(jnp.int32))
+    idx = sum((count > b).astype(jnp.int32) for b in buckets[:-1])
+
+    def mk(bucket):
+        def branch(_):
+            res = _compact_trace(o_all, d_all, live, scene, cam_brick, cfg,
+                                 bucket)
+            res = _with_exh(res, live)
+            return _cond_rescue(res, o_all, d_all, scene, cam_brick, cfg)
+        return branch
+
+    return jax.lax.switch(idx, [mk(b) for b in buckets], None)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _trace_stage_ladder(st, scene, cam_brick, cfg: BrickmapConfig):
+    o_all, d_all, live = _concat_rays(st)
+    return _ladder_switch(o_all, d_all, live, scene, cam_brick, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _final_trace_stage_ladder(st, scene, cam_brick, cfg: BrickmapConfig):
+    return _ladder_switch(st["sh_o"], st["sh_d"], st["sh_active"], scene,
+                          cam_brick, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg", "bucket"))
@@ -378,11 +450,16 @@ def _rescue_stage(res, st, scene, cam_brick, cfg: BrickmapConfig,
     else:
         o_all, d_all, _ = _concat_rays(st)
     exh = res["exhausted"]
-    r2 = _compact_trace(o_all, d_all, exh, scene, cam_brick, cfg, bucket)
+    off = jnp.where(exh, jnp.maximum(res["resume_t"] - 2.0, 0.0), 0.0)
+    r2 = _compact_trace(o_all + d_all * off[:, None], d_all, exh, scene,
+                        cam_brick, cfg, bucket)
+    r2 = dict(r2, t=jnp.where(r2["hit"], r2["t"] + off, 0.0),
+              resume_t=r2["resume_t"] + off)
     merged = {
         k: jnp.where(exh if res[k].ndim == 1 else exh[:, None], r2[k],
                      res[k])
-        for k in ("hit", "t", "normal", "request", "request_pos")
+        for k in ("hit", "t", "normal", "request", "request_pos",
+                  "resume_t")
     }
     return _with_exh(dict(merged, exhausted=r2["exhausted"]), exh)
 

@@ -118,11 +118,19 @@ class StreamingScene:
             streaming_truth = scene_mod.VoxelScene(
                 index_volume=self._iv, pool_words=self._pool,
                 pool_base=self.pool_base)
-            host_paged = build_paged_scene(streaming_truth, grid)
+            # Nothing is resident at start, so poolT is all-zero: allocate
+            # it on DEVICE instead of building + uploading 2.1 GB of host
+            # zeros for the full world (the host build cost 315 s through
+            # the tunnel in r2; the reference likewise starts with empty
+            # pools, Scene.cpp:157-175).
+            host_paged = build_paged_scene(streaming_truth, grid,
+                                           include_pool=False)
             self._meta_host = np.asarray(host_paged.meta)
             self._paged = type(host_paged)(
                 meta=jnp.asarray(host_paged.meta),
-                poolT=jnp.asarray(host_paged.poolT),
+                poolT=jnp.zeros(
+                    (grid.num_superchunks, 4 * grid.cell_members,
+                     grid.supergrid_cell_size ** 3), jnp.bfloat16),
                 sc_dist=jnp.asarray(host_paged.sc_dist))
 
     # -- bookkeeping --------------------------------------------------------

@@ -38,6 +38,13 @@ VARIANTS = {
     "rounds128": {"paged_rounds": 128},
     "rounds256": {"paged_rounds": 256},
     "rounds384": {"paged_rounds": 384},
+    # Round-5: with rescue resume-from-t the main budget can shrink —
+    # divergent tiles release early and stragglers resume where they
+    # stopped instead of re-marching from the origin.
+    "rounds96": {"paged_rounds": 96},
+    "rounds64": {"paged_rounds": 64},
+    "rounds48": {"paged_rounds": 48},
+    "rounds32": {"paged_rounds": 32},
 }
 
 
