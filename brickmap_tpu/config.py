@@ -162,6 +162,11 @@ class RenderConfig:
     paged_fanout: int = 4            # pages marched per round (1-8)
     paged_pool_fanout: int = 1       # pool pages (brick descends) per round
     paged_prefetch: bool = True      # cross-round double-buffered DMA
+    # In-program rescue of budget-exhausted lanes (render.pathtrace):
+    # rescue_passes - 1 medium-budget passes re-sort stragglers by their
+    # current page (resume-from-t), then a final no-ray-exceeds-it pass.
+    rescue_passes: int = 3
+    rescue_rounds: int = 96          # paged_rounds per intermediate pass
 
     @property
     def num_pixels(self) -> int:

@@ -337,26 +337,28 @@ def _with_exh(res, live):
                 exh_n=jnp.sum(exh.astype(jnp.int32)))
 
 
-def _cond_rescue(res, o_all, d_all, scene, cam_brick, cfg: BrickmapConfig):
-    """Re-trace ``res``'s exhausted lanes with the escalated budget, inside
-    the same program under ``lax.cond`` (skipped entirely when nothing
-    exhausted — the common case costs one scalar compare, no host gate).
+def _rescue_pass(res, o_all, d_all, scene, cam_brick, rcfg: BrickmapConfig,
+                 bucket: int):
+    """One conditional rescue pass over ``res``'s exhausted lanes (skipped
+    entirely when nothing is exhausted — the common case costs one scalar
+    compare, no host gate).
 
-    The static ``_rescue_bucket`` can in principle overflow; un-packed lanes
-    KEEP their exhausted flag (never silently become misses) so the caller's
-    wave-level retry (``render_wave``) catches them."""
-    m = o_all.shape[0]
-    bucket = _rescue_bucket(m)
-    rcfg = _rescue_cfg(cfg)
+    Resume-from-t: the exhausted lane's marched prefix is known empty (the
+    kernel reports the entry distance of the cell it stopped in), so the
+    pass clips the ray forward to just before that point — the re-trace
+    only pays for the unexplored suffix.  The 2-voxel backstep absorbs
+    float noise in the re-entry position.  Because the resumed origin IS
+    the lane's current position, ``_compact_trace``'s (page, octant) sort
+    re-buckets stragglers by the page they are actually in — divergent
+    bounce rays regain tile coherence every pass (the per-round
+    re-bucketing lever, notes/ROADMAP.md section 1).
+
+    The static ``_rescue_bucket`` can in principle overflow; un-packed
+    lanes KEEP their exhausted flag (never silently become misses) so the
+    caller's wave-level retry (``render_wave``) catches them."""
     exh = res["exhausted"]
 
     def do_rescue(_):
-        # Resume-from-t: the exhausted lane's marched prefix is known empty
-        # (the kernel reports the entry distance of the cell it stopped in),
-        # so the rescue clips the ray forward to just before that point
-        # instead of re-marching from the origin — the re-trace only pays
-        # for the unexplored suffix.  The 2-voxel backstep absorbs float
-        # noise in the re-entry position.
         off = jnp.where(exh, jnp.maximum(res["resume_t"] - 2.0, 0.0), 0.0)
         r2 = _compact_trace(o_all + d_all * off[:, None], d_all, exh, scene,
                             cam_brick, rcfg, bucket)
@@ -376,6 +378,24 @@ def _cond_rescue(res, o_all, d_all, scene, cam_brick, cfg: BrickmapConfig):
         return _with_exh(dict(res, **merged, exhausted=still), exh)
 
     return jax.lax.cond(res["exh_n"] > 0, do_rescue, lambda _: res, None)
+
+
+def _cond_rescue(res, o_all, d_all, scene, cam_brick, cfg: BrickmapConfig):
+    """Multi-pass in-program rescue: ``rescue_passes - 1`` medium-budget
+    passes that re-sort stragglers by their CURRENT page (resume-from-t
+    makes the sort key the lane's live position), then one final pass with
+    a budget no realizable ray path exceeds."""
+    import dataclasses
+
+    m = o_all.shape[0]
+    bucket = _rescue_bucket(m)
+    for _ in range(max(cfg.render.rescue_passes - 1, 0)):
+        mid = dataclasses.replace(
+            cfg, render=dataclasses.replace(
+                cfg.render, paged_rounds=cfg.render.rescue_rounds))
+        res = _rescue_pass(res, o_all, d_all, scene, cam_brick, mid, bucket)
+    return _rescue_pass(res, o_all, d_all, scene, cam_brick,
+                        _rescue_cfg(cfg), bucket)
 
 
 @partial(jax.jit, static_argnames=("cfg", "bucket"))
@@ -409,11 +429,14 @@ def _ladder_switch(o_all, d_all, live, scene, cam_brick,
         def branch(_):
             res = _compact_trace(o_all, d_all, live, scene, cam_brick, cfg,
                                  bucket)
-            res = _with_exh(res, live)
-            return _cond_rescue(res, o_all, d_all, scene, cam_brick, cfg)
+            return _with_exh(res, live)
         return branch
 
-    return jax.lax.switch(idx, [mk(b) for b in buckets], None)
+    # Rescue OUTSIDE the switch: one shared rescue chain per program instead
+    # of one per ladder branch (each branch would add its own Mosaic kernel
+    # instances to the compile).
+    res = jax.lax.switch(idx, [mk(b) for b in buckets], None)
+    return _cond_rescue(res, o_all, d_all, scene, cam_brick, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -45,6 +45,10 @@ VARIANTS = {
     "rounds64": {"paged_rounds": 64},
     "rounds48": {"paged_rounds": 48},
     "rounds32": {"paged_rounds": 32},
+    "p1": {"rescue_passes": 1},
+    "p2": {"rescue_passes": 2},
+    "r96p1": {"paged_rounds": 96, "rescue_passes": 1},
+    "r96rr192": {"paged_rounds": 96, "rescue_rounds": 192},
 }
 
 

@@ -39,7 +39,7 @@ P = occ.shape[0]
 print(f"{P} bricks", flush=True)
 
 rng = np.random.default_rng(0)
-C = 8192
+C = 16384
 K = 8
 ox = rng.uniform(64, 960, C).astype(np.float32)
 oy = rng.uniform(64, 960, C).astype(np.float32)
@@ -96,8 +96,7 @@ slots, lin, mask = timeit("geometry (slots/lin/mask)", geom, *args_geom,
 gather = jax.jit(lambda f3, s: jnp.take(f3, s, axis=0))
 rows = timeit("row gather [C,K,2048]", gather, field2, slots)
 
-extract = jax.jit(sp._extract_rows)
-timeit("extract fwd", extract, rows, lin)
+
 
 nvox = 22
 
@@ -112,17 +111,7 @@ def fwd_all(field2, slots, lin, mask, bg, tgt):
     return jnp.sum((rgb - tgt) ** 2)
 
 
-timeit("full fwd (gather+extract+comp)", fwd_all, field2, slots, lin, mask,
-       bg, tgt)
 
-
-@jax.jit
-def fwdbwd(field2, slots, lin, mask, bg, tgt):
-    return jax.value_and_grad(fwd_all)(field2, slots, lin, mask, bg, tgt)
-
-
-timeit("full fwd+bwd (field grad)", fwdbwd, field2, slots, lin, mask, bg,
-       tgt)
 
 
 @partial(jax.jit, static_argnames=("grid", "k_segments"))
@@ -138,6 +127,61 @@ timeit("_row_chunk_grad (row scatter)", chunkbody, segs["o_cells"], dirs_j,
        segs["cells"], segs["nd"], segs["ncode"], segs["entry_normal"],
        cellmap, field2, bg, tgt, grid, K)
 
-timeit("record_segments (8192 rays)",
+timeit("record_segments (slice rays)",
        partial(record_segments, k_segments=K),
        origins_j, dirs_j, psc, grid)
+
+# ---- round-5 pieces: the Pallas-extract path used by _row_chunk_grad ----
+from brickmap_tpu.pallas.extract import extract_rows_pallas
+
+lin2 = jnp.where(mask, lin, -1).reshape(C * K, nvox)
+slots_flat = slots.reshape(-1)
+
+
+@jax.jit
+def gather2(field2, s):
+    return jnp.take(field2, s, axis=0)          # [C*K, 2048]
+
+
+rows2 = timeit("row gather [C*K, 2048]", gather2, field2, slots_flat)
+
+
+@jax.jit
+def pextract(rows2, lin2):
+    return extract_rows_pallas(rows2, lin2, False)
+
+
+timeit("pallas extract fwd", pextract, rows2, lin2)
+
+
+@jax.jit
+def fwd_pallas(rows2, lin2, mask, bg, tgt):
+    vals = extract_rows_pallas(rows2, lin2, False)
+    occ = vals[:, :nvox].reshape(C, K * nvox)
+    alb = [vals[:, (1 + ch) * nvox:(2 + ch) * nvox].reshape(C, K * nvox)
+           for ch in range(3)]
+    occ_v = jnp.where(mask.reshape(C, K * nvox), jnp.clip(occ, 0, 1), 0.0)
+    rgb, _ = sp._composite_core3(occ_v, *alb, bg)
+    return jnp.sum((rgb - tgt) ** 2)
+
+
+timeit("pallas fwd (extract+composite)", fwd_pallas, rows2, lin2, mask, bg,
+       tgt)
+
+
+@jax.jit
+def bwd_rows(rows2, lin2, mask, bg, tgt):
+    return jax.value_and_grad(fwd_pallas)(rows2, lin2, mask, bg, tgt)
+
+
+_, d_rows = timeit("pallas fwd+bwd wrt rows", bwd_rows, rows2, lin2, mask,
+                   bg, tgt)
+
+
+@jax.jit
+def scatter_only(field2, s, d):
+    return jnp.zeros_like(field2).at[s].add(d)
+
+
+timeit("row scatter-add [C*K, 2048]", scatter_only, field2, slots_flat,
+       d_rows)

@@ -367,3 +367,53 @@ def test_traced_scan_chunking_matches_host(sparse_world, rng):
                                rtol=1e-4, atol=1e-7)
     np.testing.assert_allclose(np.asarray(da_t), np.asarray(da_ref),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_traced_row_scan_realistic_shard(sparse_world, rng):
+    """The traced replay path at a 1080p-shard-sized ray count (259,200 =
+    1920*1080/8, the shape that OOM'd pre-r4; VERDICT r4 weak #7): the
+    bounded-memory scan must compile and run at realistic shard size, and
+    its loss/grads must scale exactly with ray tiling."""
+    from brickmap_tpu.diff.sparse import (_pack_field2, _row_scan_grads_jit,
+                                          _finalize2)
+
+    dense, sc, psc, cellmap, occ, alb = sparse_world
+    occ = occ * 0.7
+    rng2 = np.random.default_rng(21)
+    alb = rng2.uniform(0.1, 1.0, alb.shape).astype(np.float32)
+    field2 = _pack_field2(jnp.asarray(occ), jnp.asarray(alb))
+
+    # Record a small batch once (interpret-mode Pallas is the slow part),
+    # then tile the recorded geometry to shard size.
+    n0 = 800
+    K = 6
+    origins, dirs = rays_toward(rng, n0)
+    bg = rng2.uniform(0, 1, (n0, 3)).astype(np.float32)
+    tgt = rng2.uniform(0, 1, (n0, 3)).astype(np.float32)
+    segs = record_segments(jnp.asarray(origins), jnp.asarray(dirs), psc,
+                           GRID, k_segments=K, interpret=True)
+
+    base = (np.asarray(segs["o_cells"]), dirs, np.asarray(segs["cells"]),
+            np.asarray(segs["nd"]), np.asarray(segs["ncode"]),
+            np.asarray(segs["entry_normal"]), bg, tgt)
+    b_j = [jnp.asarray(a) for a in base]
+    sse0, df0 = _row_scan_grads_jit(
+        b_j[0], b_j[1], b_j[2], b_j[3], b_j[4], b_j[5], cellmap, field2,
+        b_j[6], b_j[7], GRID, K, chunk=800, interpret=True)
+
+    n = 259_200
+    reps = -(-n // n0)
+    tiled = tuple(jnp.asarray(np.tile(a, (reps,) + (1,) * (a.ndim - 1))[:n])
+                  for a in (base[0], base[1], base[2], base[3], base[4],
+                            base[5], base[6], base[7]))
+    # Production traced-path slice size (diff/sparse.py host_chunk clamp).
+    sse, dfield2 = _row_scan_grads_jit(
+        tiled[0], tiled[1], tiled[2], tiled[3], tiled[4], tiled[5],
+        cellmap, field2, tiled[6], tiled[7], GRID, K, chunk=8192,
+        interpret=True)
+    assert np.isfinite(float(sse))
+    assert np.isfinite(np.asarray(dfield2)).all()
+    # 324 full tiles exactly cover 259,200 = 324 * 800: scale must be exact.
+    np.testing.assert_allclose(float(sse), 324.0 * float(sse0), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dfield2), 324.0 * np.asarray(df0),
+                               rtol=2e-3, atol=2e-4)

@@ -291,7 +291,7 @@ def test_rescue_reports_honestly_when_starved(world, monkeypatch):
     psc = jax.tree.map(jnp.asarray, build_paged_scene(sc, CFG.grid))
     cfg_t = CFG.replace(render=dataclasses.replace(
         CFG.render, max_bounces=0, paged_rounds=1, paged_march=2,
-        paged_phases=1))
+        paged_phases=1, rescue_rounds=1))   # starve intermediate passes too
     monkeypatch.setattr(pt, "RESCUE_ROUNDS", 1)
     rgb, count, req = pt.render_wave(jax.random.PRNGKey(36), psc, arrays,
                                      cam_brick, cfg_t, W, H)

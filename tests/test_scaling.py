@@ -28,18 +28,20 @@ def test_scaling_benchmark_runs_on_cpu_mesh():
     dense[16:48, 32:96, 32:96] = True
     sc = scene_mod.scene_from_dense(dense, cfg.grid)
 
-    out = run_scaling_benchmark(sc, cfg, 32, 16, device_counts=[1, 2],
+    # Full [1, 2, 4, 8] ladder over the virtual mesh (VERDICT r4 weak #7).
+    out = run_scaling_benchmark(sc, cfg, 32, 16, device_counts=[1, 2, 4, 8],
                                 waves=1, inverse_rays=256, k_segments=4,
                                 verbose=False)
-    assert out["device_counts"] == [1, 2]
-    assert len(out["rows"]) == 2
+    assert out["device_counts"] == [1, 2, 4, 8]
+    assert len(out["rows"]) == 4
     for row in out["rows"]:
         assert row["forward_rays_per_s"] > 0
         assert row["inverse_rays_per_s"] > 0
-    r1, r2 = out["rows"]
+    r1 = out["rows"][0]
     assert r1["forward_efficiency_pct"] == 100.0
     assert r1["inverse_efficiency_pct"] == 100.0
-    expect = round(100.0 * (r2["forward_rays_per_s"]
-                            / r1["forward_rays_per_s"]) / 2, 1)
-    assert r2["forward_efficiency_pct"] == expect
+    for d, row in zip([1, 2, 4, 8], out["rows"]):
+        expect = round(100.0 * (row["forward_rays_per_s"]
+                                / r1["forward_rays_per_s"]) / d, 1)
+        assert row["forward_efficiency_pct"] == expect
     assert out["num_processes"] == 1
