@@ -371,6 +371,97 @@ def _sparse_bwd_bench(cfg):
     return {"full": n / best / 1e6, "cached_step": n / best_c / 1e6}
 
 
+def _sparse_bwd_full_bench(cfg):
+    """fwd+bwd over the FULL 4096^2x512 world's sparse pool (the BASELINE
+    headline at its stated configuration; VERDICT r4 missing #3).
+
+    HBM cannot hold per-voxel (occupancy, albedo) f32 fields for every
+    resident brick of the full world (~10s of GB) alongside the 2.1 GB
+    paged scene — but a frame's gradients are EXACTLY ZERO for every brick
+    its rays never recorded, so the optimized field is restricted to the
+    frame's active-brick set (a pre-pass record lists it) with a remapped
+    cellmap.  Identical math, view-dependent allocation — the same
+    working-set principle as the reference's residency streaming
+    (Scene.cpp:200-252).  Rays cover a 2048^2 central region (a realistic
+    single-frame footprint; the full scene + paging stays resident)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from brickmap_tpu import bits, scene as scene_mod
+    from brickmap_tpu.config import BrickmapConfig, GridConfig
+    from brickmap_tpu.diff.sparse import (
+        cell_pool_map, l2_loss_and_grads_sparse)
+    from brickmap_tpu.pallas.record import record_segments
+
+    grid = GridConfig()
+    full_cfg = BrickmapConfig(grid=grid, render=cfg.render)
+    sc = _load_world("full", full_cfg, scene_mod)
+    psc = _paged_for("full", sc, full_cfg)
+
+    rng = np.random.default_rng(0)
+    n = cfg.render.width * cfg.render.height
+    K = 8
+    ox = rng.uniform(1024, 3072, n).astype(np.float32)
+    oy = rng.uniform(1024, 3072, n).astype(np.float32)
+    oz = np.full(n, 500.0, np.float32)
+    origins = jnp.asarray(np.stack([ox, oy, oz], 1))
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs[:, 2] = -np.abs(dirs[:, 2]) - 1.0
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    dirs = jnp.asarray(dirs)
+    bg = jnp.zeros((n, 3), jnp.float32)
+    tgt = jnp.full((n, 3), 0.4, jnp.float32)
+
+    # Active-brick pre-pass: which pool rows does this frame touch?
+    t0 = time.perf_counter()
+    segs = record_segments(origins, dirs, psc, grid, k_segments=K)
+    cells = np.asarray(segs["cells"])
+    del segs
+    cellmap = cell_pool_map(sc, grid)
+    cx_, cy_ = cells & 0x3FF, (cells >> 10) & 0x3FF
+    cz_ = (cells >> 20) & 0x3FF
+    valid = cells >= 0
+    rows = cellmap[cz_[valid], cy_[valid], cx_[valid]]
+    uniq = np.unique(rows[rows >= 0]).astype(np.int64)
+    A = uniq.shape[0]
+    _hb(f"active set: {A} of {sc.pool_words.shape[0]} bricks "
+        f"({time.perf_counter()-t0:.1f}s prepass)")
+
+    inv = np.full(sc.pool_words.shape[0], -1, np.int32)
+    inv[uniq] = np.arange(A, dtype=np.int32)
+    cellmap_a = np.where(cellmap >= 0, inv[np.maximum(cellmap, 0)], -1)
+    dense = np.asarray(bits.dense_from_brick_words(
+        np.asarray(sc.pool_words)[uniq]))
+    occ_a = dense.reshape(A, 512).astype(np.float32) * 0.8
+    alb_a = np.full((A, 512, 3), 0.6, np.float32)
+
+    cellmap_j = jnp.asarray(cellmap_a)
+    occ_j, alb_j = jnp.asarray(occ_a), jnp.asarray(alb_a)
+
+    def run(cache=None):
+        loss, grads = l2_loss_and_grads_sparse(
+            origins, dirs, psc, cellmap_j, occ_j, alb_j, bg, tgt, grid,
+            k_segments=K, seg_cache=cache)
+        return float(loss)
+
+    run()
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    cache: dict = {}
+    run(cache)
+    best_c = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run(cache)
+        best_c = min(best_c, time.perf_counter() - t0)
+    return {"full": n / best / 1e6, "cached_step": n / best_c / 1e6,
+            "active_bricks": int(A)}
+
+
 def _pallas_brick_bench():
     """Config-1 class microbenchmark: the fused Pallas 8^3 brick-DDA kernel
     (the register-resident architecture the hierarchical kernel builds on)."""
@@ -418,6 +509,7 @@ def _pallas_brick_bench():
 AUX.update({
     "bwd": _bwd_bench,
     "sparse-bwd": _sparse_bwd_bench,
+    "sparse-bwd-full": _sparse_bwd_full_bench,
     "brick": lambda cfg: _pallas_brick_bench(),
 })
 
@@ -527,17 +619,21 @@ def main() -> None:
         if _remaining() > 300 else None
     fwd_bwd = None
     sparse_bwd = None
+    sparse_bwd_full = None
     if not args.skip_bwd:
         if _remaining() > 300:
-            fwd_bwd = _run_aux("bwd", timeout=1200)
-        if _remaining() > 300:
             sparse_bwd = _run_aux("sparse-bwd", timeout=1200)
+        if _remaining() > 300:
+            sparse_bwd_full = _run_aux("sparse-bwd-full", timeout=1800)
+        if _remaining() > 300:
+            fwd_bwd = _run_aux("bwd", timeout=900)
 
     if isinstance(sparse_bwd, dict):
         sparse_full, sparse_cached = (sparse_bwd.get("full"),
                                       sparse_bwd.get("cached_step"))
     else:            # older payload shape (single float)
         sparse_full, sparse_cached = sparse_bwd, None
+    sbf = sparse_bwd_full if isinstance(sparse_bwd_full, dict) else {}
     final = _result_json(fwd, {
         "fwd_bwd_mrays_per_s": round(fwd_bwd, 3) if fwd_bwd else None,
         # Measured on the 1024^2x256 world (see _sparse_bwd_bench).
@@ -548,6 +644,13 @@ def main() -> None:
         "sparse_cached_step_mrays_per_s": round(sparse_cached, 3)
         if sparse_cached else None,
         "sparse_bwd_world": "small",
+        # FULL-world gradient step over the frame's active-brick field
+        # (see _sparse_bwd_full_bench).
+        "sparse_fwd_bwd_full_mrays_per_s": round(sbf["full"], 3)
+        if sbf.get("full") else None,
+        "sparse_full_cached_step_mrays_per_s": round(sbf["cached_step"], 3)
+        if sbf.get("cached_step") else None,
+        "sparse_full_active_bricks": sbf.get("active_bricks"),
         "pallas_brick_mrays_per_s": round(pallas_mrays, 1)
         if pallas_mrays else None,
     })

@@ -266,9 +266,16 @@ def cmd_render(args) -> int:
     prof.__exit__(None, None, None)
     if mgr is not None:
         res = mgr.dump()
+        surf = mgr.surface_stats()
         print(f"streaming: {int(res.sum())} bricks resident, "
               f"{mgr.total_uploaded} uploaded, {mgr.total_dropped} dropped",
               file=sys.stderr)
+        # The reference's locality invariant (README.md:7): traversal stops
+        # at the first hit, so only surface bricks are ever uploaded.
+        print(f"streaming: {surf['loaded_surface']} surface / "
+              f"{surf['loaded_interior']} interior bricks loaded "
+              f"(world: {surf['surface_total']} surface of "
+              f"{surf['nonempty_total']} non-empty)", file=sys.stderr)
 
     stats = timer.stats()
     # The timer counts timed WAVES; don't let its "frames" key shadow the

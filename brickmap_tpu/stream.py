@@ -338,6 +338,37 @@ class StreamingScene:
     def fully_resident(self) -> bool:
         return not ((self._iv & np.uint32(0x4000_0000)) != 0).any()
 
+    def surface_stats(self) -> dict:
+        """Residency vs the surface-brick set.
+
+        The reference's defining streaming property is that "only bricks on
+        the surface of a superchunk" are ever uploaded (README.md:7):
+        traversal stops at the first hit, so interior bricks are never
+        requested.  A brick is *surface* here iff any of its 6 neighbor
+        cells (world-clamped) is empty.  Returns loaded/surface counts;
+        ``loaded_interior`` must stay 0 for the invariant to hold."""
+        iv = np.asarray(self.truth.index_volume)
+        nonempty = (iv & np.uint32(0xE000_0000)) != 0
+        exposed = np.zeros_like(nonempty)
+        for axis in range(3):
+            for side in (-1, 1):
+                nb = np.ones_like(nonempty)   # out-of-world counts as air
+                src = [slice(None)] * 3
+                dst = [slice(None)] * 3
+                src[axis] = slice(1, None) if side > 0 else slice(None, -1)
+                dst[axis] = slice(None, -1) if side > 0 else slice(1, None)
+                nb[tuple(dst)] = nonempty[tuple(src)]
+                exposed |= ~nb
+        surface = nonempty & exposed
+        loaded = (self._iv & np.uint32(0x8000_0000)) != 0
+        return {
+            "loaded_total": int(loaded.sum()),
+            "loaded_surface": int((loaded & surface).sum()),
+            "loaded_interior": int((loaded & ~surface).sum()),
+            "surface_total": int(surface.sum()),
+            "nonempty_total": int(nonempty.sum()),
+        }
+
 
 _scatter_pool_cols_jit = None
 

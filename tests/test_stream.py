@@ -281,3 +281,27 @@ def test_streaming_parity_non_default_grid(rng):
     np.testing.assert_allclose(np.asarray(res["t"]), np.asarray(want["t"]),
                                atol=1e-3)
     assert not np.asarray(res["request"]).any()
+
+
+def test_surface_only_invariant_reported(truth, rng):
+    """After request-driven convergence, every loaded brick is a surface
+    brick (the reference's locality invariant, README.md:7), and
+    surface_stats reports it."""
+    mgr = StreamingScene(truth, GRID, queue_size=64)
+    n = 256
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins = (np.array([64, 64, 32]) - dirs * 100).astype(np.float32)
+    for _ in range(50):
+        res = trace(mgr.device_scene(), origins, dirs)
+        mask = np.asarray(res["request"])
+        if not mask.any():
+            break
+        if mgr.process_requests(
+                map(tuple, np.asarray(res["request_pos"])[mask])) == 0:
+            break
+    s = mgr.surface_stats()
+    assert s["loaded_total"] > 0
+    assert s["loaded_interior"] == 0, s
+    assert s["loaded_surface"] == s["loaded_total"]
+    assert s["surface_total"] < s["nonempty_total"]  # box has an interior
