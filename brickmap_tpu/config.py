@@ -161,11 +161,15 @@ class RenderConfig:
     paged_transit: int = 2           # empty-page ESS jumps per round
     paged_fanout: int = 4            # pages marched per round (1-8)
     paged_pool_fanout: int = 1       # pool pages (brick descends) per round
+    paged_pool_slab: int = 1024      # cells per voted pool DMA slab (pow2)
     paged_prefetch: bool = True      # cross-round double-buffered DMA
     # In-program rescue of budget-exhausted lanes (render.pathtrace):
     # rescue_passes - 1 medium-budget passes re-sort stragglers by their
     # current page (resume-from-t), then a final no-ray-exceeds-it pass.
-    rescue_passes: int = 3
+    # Default 1: the round-5 same-session A/B (notes/PERF.md) measured the
+    # extra passes as a 3-5% cost that never paid for itself — the single
+    # resume-from-t rescue already skips the marched prefix.
+    rescue_passes: int = 1
     rescue_rounds: int = 96          # paged_rounds per intermediate pass
 
     @property

@@ -138,7 +138,7 @@ def _sel16(words, widx):
 def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                  phase_iters: int, transit_iters: int, pages_per_round: int,
                  pool_fanout: int, use_lod: bool, streaming: bool, nr4: int,
-                 prefetch: bool):
+                 prefetch: bool, pool_slab: int = 1024):
     """Build the kernel body (static geometry baked in).
 
     ``prefetch``: cross-round double-buffered page/pool DMA (votes + copies
@@ -311,6 +311,13 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
 
         NP = pages_per_round
         NPP = pool_fanout
+        # Pool slab granularity: cells per voted pool DMA (power of two).
+        # Finer slabs shrink the per-round pool DMA and target descends
+        # more precisely (terrain wanters cluster in thin z-slabs); the
+        # page of 4096 cells is divided into NSLABS slabs.
+        SLAB = pool_slab
+        SLAB_SHIFT = SLAB.bit_length() - 1
+        NSLABS = (s ** 3) // SLAB
 
         def compute_votes(st):
             """NP page + NPP pool-subpage votes from the current lane state
@@ -351,7 +358,8 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
             lin_here = (((st["pz"] & 15) * s + (st["py"] & 15)) * s
                         + (st["px"] & 15))
             skey = jnp.where(alive & wanting,
-                             sc_c * 4 + (lin_here >> 10), DEAD_SC)
+                             sc_c * NSLABS + (lin_here >> SLAB_SHIFT),
+                             DEAD_SC)
             pool_ids = []
             prev = jnp.int32(-1)
             for _ in range(NPP):
@@ -366,7 +374,7 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
             # valid keys or -1 (ADVICE r2: DEAD_SC*4 would wrap negative).
             pool_ids[0] = jnp.where(
                 pool_ids[0] < DEAD_SC, pool_ids[0],
-                jnp.where(page_ids[0] < DEAD_SC, page_ids[0] * 4, -1))
+                jnp.where(page_ids[0] < DEAD_SC, page_ids[0] * NSLABS, -1))
             pool_ids = [pool_ids[0]] + [
                 jnp.where(p < DEAD_SC, p, -1) for p in pool_ids[1:]]
             return page_ids, pool_ids
@@ -381,10 +389,10 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                     meta_hbm.at[pid], meta_s.at[buf, k], sem_meta.at[k]))
             for k in range(NPP):
                 pid = jnp.clip(pool_ids[k], 0,
-                               poolT_hbm.shape[0] * 4 - 1)
+                               poolT_hbm.shape[0] * NSLABS - 1)
                 descs.append(pltpu.make_async_copy(
-                    poolT_hbm.at[pid >> 2, :,
-                                 pl.ds((pid & 3) * 1024, 1024)],
+                    poolT_hbm.at[pid // NSLABS, :,
+                                 pl.ds((pid % NSLABS) * SLAB, SLAB)],
                     poolT_s.at[buf, k], sem_pool.at[k]))
             return descs
 
@@ -693,12 +701,13 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 sc_now = page_of(st["px"], st["py"], st["pz"])
                 lin_now = (((st["pz"] & 15) * s + (st["py"] & 15)) * s
                            + (st["px"] & 15))
-                pslot_b = pool_slot_of(sc_now * 4 + (lin_now >> 10))
+                pslot_b = pool_slot_of(sc_now * NSLABS
+                                       + (lin_now >> SLAB_SHIFT))
                 bb = (st["alive"] != 0) & (st["wantb"] != 0) \
                     & (pslot_b >= 0)
 
                 def do_brick(st):
-                    slot = jnp.where(bb, lin_now & 1023, 0)
+                    slot = jnp.where(bb, lin_now & (SLAB - 1), 0)
                     words = _fetch_bricks_multi(
                         [poolT_s[buf, k] for k in range(NPP)], slot,
                         jnp.where(bb, pslot_b, 0), NPP)
@@ -789,12 +798,12 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
          static_argnames=("grid", "max_page_rounds", "march_steps",
                           "phase_iters", "transit_iters", "pages_per_round",
                           "pool_fanout", "use_lod", "streaming", "interpret",
-                          "prefetch"))
+                          "prefetch", "pool_slab"))
 def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
                 max_page_rounds: int, march_steps: int, phase_iters: int,
                 transit_iters: int, pages_per_round: int, pool_fanout: int,
                 use_lod: bool, streaming: bool, interpret: bool,
-                prefetch: bool):
+                prefetch: bool, pool_slab: int = 1024):
     t_tiles = comps[0].shape[0]
     kernel = _make_kernel(grid, max_page_rounds=max_page_rounds,
                           march_steps=march_steps, phase_iters=phase_iters,
@@ -802,7 +811,7 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
                           pages_per_round=pages_per_round,
                           pool_fanout=pool_fanout, use_lod=use_lod,
                           streaming=streaming, nr4=scd.shape[0],
-                          prefetch=prefetch)
+                          prefetch=prefetch, pool_slab=pool_slab)
     tile = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     out_sd = [
@@ -830,7 +839,8 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
             # Leading dim 2: cross-round double buffer (round N's phases read
             # buf N&1 while round N+1's prefetch fills the other).
             pltpu.VMEM((2, pages_per_round, 16, 128), jnp.int32),   # meta
-            pltpu.VMEM((2, pool_fanout, 64, 1024), jnp.bfloat16),   # pool
+            pltpu.VMEM((2, pool_fanout, 4 * grid.cell_members,
+                        pool_slab), jnp.bfloat16),              # pool
             pltpu.SemaphoreType.DMA((pages_per_round,)),
             pltpu.SemaphoreType.DMA((pool_fanout,)),
         ],
@@ -846,14 +856,14 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
          static_argnames=("grid", "max_page_rounds", "march_steps",
                           "phase_iters", "transit_iters", "pages_per_round",
                           "pool_fanout", "use_lod", "streaming", "interpret",
-                          "prefetch"))
+                          "prefetch", "pool_slab"))
 def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
                      grid: GridConfig, max_page_rounds: int = 96,
                      march_steps: int = 48, phase_iters: int = 2,
                      transit_iters: int = 2, pages_per_round: int = 4,
                      pool_fanout: int = 1, use_lod: bool = True,
                      streaming: bool = True, interpret: bool = False,
-                     prefetch: bool = True):
+                     prefetch: bool = True, pool_slab: int = 1024):
     """Trace rays with the fused hierarchical kernel.
 
     Same contract/results as :func:`brickmap_tpu.ops.traverse.trace_rays`
@@ -890,7 +900,7 @@ def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
         cam, pscene.sc_dist, pscene.meta, pscene.poolT, tuple(comps), grid,
         max_page_rounds, march_steps, phase_iters, transit_iters,
         pages_per_round, pool_fanout, use_lod, streaming, interpret,
-        prefetch)
+        prefetch, pool_slab)
 
     def unpad(a):
         return a.reshape(-1)[:n]

@@ -163,6 +163,7 @@ def _trace(origins, dirs, scene, cam_brick, cfg: BrickmapConfig):
             pages_per_round=cfg.render.paged_fanout,
             pool_fanout=cfg.render.paged_pool_fanout,
             prefetch=cfg.render.paged_prefetch,
+            pool_slab=cfg.render.paged_pool_slab,
             interpret=jax.devices()[0].platform == "cpu",
         )
     if scene.block_words is not None:

@@ -46,6 +46,9 @@ VARIANTS = {
     "rounds48": {"paged_rounds": 48},
     "rounds32": {"paged_rounds": 32},
     "p1": {"rescue_passes": 1},
+    "slab512npp2": {"paged_pool_slab": 512, "paged_pool_fanout": 2},
+    "slab512npp4": {"paged_pool_slab": 512, "paged_pool_fanout": 4},
+    "slab256npp4": {"paged_pool_slab": 256, "paged_pool_fanout": 4},
     "p2": {"rescue_passes": 2},
     "r96p1": {"paged_rounds": 96, "rescue_passes": 1},
     "r96rr192": {"paged_rounds": 96, "rescue_rounds": 192},

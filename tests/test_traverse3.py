@@ -218,3 +218,30 @@ def test_paged_prefetch_modes_agree(multipage_scene, rng):
                          prefetch=False)
     for k in ("hit", "t", "normal", "request", "exhausted"):
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), k)
+
+
+def test_pool_slab_and_fanout_parity(box_scene, rng):
+    """Non-default pool slab size / fanout must not change results — a vote
+    key vs lookup key mismatch starves descends silently (round-5 bug:
+    stale quarter-page vote key with slab-granular lookups exhausted every
+    descend-waiting lane)."""
+    import jax
+
+    sc, psc_host = box_scene
+    psc = jax.tree.map(jnp.asarray, psc_host)
+    grid = GRID1
+    n = 1024
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins = (np.array([64, 64, 40]) - dirs * 120).astype(np.float32)
+    o, d = jnp.asarray(origins), jnp.asarray(dirs)
+    cam = jnp.zeros(3, jnp.int32)
+    base = trace_rays_paged(o, d, psc, cam, grid, interpret=True)
+    for slab, npp in ((512, 2), (256, 1)):
+        v = trace_rays_paged(o, d, psc, cam, grid, interpret=True,
+                             pool_slab=slab, pool_fanout=npp)
+        np.testing.assert_array_equal(np.asarray(base["hit"]),
+                                      np.asarray(v["hit"]))
+        np.testing.assert_allclose(np.asarray(base["t"]),
+                                   np.asarray(v["t"]), atol=1e-4)
+        assert not np.asarray(v["exhausted"]).any()
