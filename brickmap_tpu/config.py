@@ -160,8 +160,11 @@ class RenderConfig:
     paged_phases: int = 2            # march+descend phases per round
     paged_transit: int = 2           # empty-page ESS jumps per round
     paged_fanout: int = 4            # pages marched per round (1-8)
-    paged_pool_fanout: int = 1       # pool pages (brick descends) per round
-    paged_pool_slab: int = 1024      # cells per voted pool DMA slab (pow2)
+    # Round-5 same-session A/B (notes/PERF.md): two 512-cell pool slabs
+    # per round beat one 1024-cell slab by ~11% on interior views (same
+    # DMA volume, 2x finer descend targeting) and tie on divergent ones.
+    paged_pool_fanout: int = 2       # pool slabs (brick descends) per round
+    paged_pool_slab: int = 512       # cells per voted pool DMA slab (pow2)
     paged_prefetch: bool = True      # cross-round double-buffered DMA
     # In-program rescue of budget-exhausted lanes (render.pathtrace):
     # rescue_passes - 1 medium-budget passes re-sort stragglers by their
