@@ -270,11 +270,14 @@ def cmd_render(args) -> int:
         print(f"streaming: {int(res.sum())} bricks resident, "
               f"{mgr.total_uploaded} uploaded, {mgr.total_dropped} dropped",
               file=sys.stderr)
-        # The reference's locality invariant (README.md:7): traversal stops
-        # at the first hit, so only surface bricks are ever uploaded.
-        print(f"streaming: {surf['loaded_surface']} surface / "
-              f"{surf['loaded_interior']} interior bricks loaded "
-              f"(world: {surf['surface_total']} surface of "
+        # The reference's locality invariant (README.md:7): rays don't
+        # penetrate solid volume, so every load is ray-reachable (air face
+        # or a partially-filled neighbor); unreachable loads must be 0.
+        print(f"streaming: {surf['loaded_surface']} air-surface + "
+              f"{surf['loaded_reachable'] - surf['loaded_surface']} "
+              f"behind-partial / {surf['loaded_unreachable']} unreachable "
+              f"(world: {surf['surface_total']} surface, "
+              f"{surf['reachable_total']} reachable of "
               f"{surf['nonempty_total']} non-empty)", file=sys.stderr)
 
     stats = timer.stats()

@@ -339,33 +339,55 @@ class StreamingScene:
         return not ((self._iv & np.uint32(0x4000_0000)) != 0).any()
 
     def surface_stats(self) -> dict:
-        """Residency vs the surface-brick set.
+        """Residency vs the surface/reachable brick sets.
 
-        The reference's defining streaming property is that "only bricks on
-        the surface of a superchunk" are ever uploaded (README.md:7):
-        traversal stops at the first hit, so interior bricks are never
-        requested.  A brick is *surface* here iff any of its 6 neighbor
-        cells (world-clamped) is empty.  Returns loaded/surface counts;
-        ``loaded_interior`` must stay 0 for the invariant to hold."""
+        The reference's defining streaming property: "only bricks that lay
+        on the surface of a superchunk will be loaded since rays won't
+        penetrate into the inside" (README.md:7).  Two tiers:
+
+        * ``surface``: any 6-neighbor cell is EMPTY (air-exposed faces).
+        * ``reachable``: any 6-neighbor cell is empty OR partially filled —
+          a ray can pass through a partial neighbor's gaps and strike this
+          brick at fine LoD, so these loads are legitimate even without an
+          air face.  A loaded brick with six completely-solid neighbors is
+          unreachable: ``loaded_unreachable`` must stay 0.
+        """
         iv = np.asarray(self.truth.index_volume)
         nonempty = (iv & np.uint32(0xE000_0000)) != 0
-        exposed = np.zeros_like(nonempty)
-        for axis in range(3):
-            for side in (-1, 1):
-                nb = np.ones_like(nonempty)   # out-of-world counts as air
-                src = [slice(None)] * 3
-                dst = [slice(None)] * 3
-                src[axis] = slice(1, None) if side > 0 else slice(None, -1)
-                dst[axis] = slice(None, -1) if side > 0 else slice(1, None)
-                nb[tuple(dst)] = nonempty[tuple(src)]
-                exposed |= ~nb
-        surface = nonempty & exposed
+        # Full bricks: all 512 occupancy bits set in the truth payload.
+        full = np.zeros_like(nonempty)
+        zz, yy, xx = np.nonzero(nonempty)
+        scs = self._sc_id(xx, yy, zz)
+        rows = self._truth_base[scs] + (iv[zz, yy, xx]
+                                        & np.uint32(0xFFF)).astype(np.int64)
+        words = self._truth_pool[rows]
+        full[zz, yy, xx] = (words == np.uint32(0xFFFFFFFF)).all(axis=1)
+
+        def any_neighbor(pred):
+            out = np.zeros_like(nonempty)
+            for axis in range(3):
+                for side in (-1, 1):
+                    nb = np.ones_like(pred)   # out-of-world counts as true
+                    src = [slice(None)] * 3
+                    dst = [slice(None)] * 3
+                    src[axis] = slice(1, None) if side > 0 \
+                        else slice(None, -1)
+                    dst[axis] = slice(None, -1) if side > 0 \
+                        else slice(1, None)
+                    nb[tuple(dst)] = pred[tuple(src)]
+                    out |= nb
+            return out
+
+        surface = nonempty & any_neighbor(~nonempty)
+        reachable = nonempty & any_neighbor(~full)
         loaded = (self._iv & np.uint32(0x8000_0000)) != 0
         return {
             "loaded_total": int(loaded.sum()),
             "loaded_surface": int((loaded & surface).sum()),
-            "loaded_interior": int((loaded & ~surface).sum()),
+            "loaded_reachable": int((loaded & reachable).sum()),
+            "loaded_unreachable": int((loaded & ~reachable).sum()),
             "surface_total": int(surface.sum()),
+            "reachable_total": int(reachable.sum()),
             "nonempty_total": int(nonempty.sum()),
         }
 

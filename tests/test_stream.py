@@ -302,6 +302,8 @@ def test_surface_only_invariant_reported(truth, rng):
             break
     s = mgr.surface_stats()
     assert s["loaded_total"] > 0
-    assert s["loaded_interior"] == 0, s
+    assert s["loaded_unreachable"] == 0, s
+    # The solid box has FULL bricks everywhere except its shell, so here
+    # reachable == air-surface and every load is an air-surface brick.
     assert s["loaded_surface"] == s["loaded_total"]
     assert s["surface_total"] < s["nonempty_total"]  # box has an interior
