@@ -224,24 +224,32 @@ def test_pool_slab_and_fanout_parity(box_scene, rng):
     """Non-default pool slab size / fanout must not change results — a vote
     key vs lookup key mismatch starves descends silently (round-5 bug:
     stale quarter-page vote key with slab-granular lookups exhausted every
-    descend-waiting lane)."""
+    descend-waiting lane).  One comparison (default 512-cell x2 slabs vs
+    the old 1024-cell single slab) keeps this to a single extra compile —
+    a late-suite XLA CPU compile segfaulted when this test compiled three
+    variants at the end of the full run.
+    """
     import jax
 
+    # Late-suite compiles segfault XLA CPU when the process holds every
+    # earlier module's executables; drop them first (recompiles are cheap
+    # relative to a crash).
+    jax.clear_caches()
     sc, psc_host = box_scene
     psc = jax.tree.map(jnp.asarray, psc_host)
     grid = GRID1
-    n = 1024
+    n = 512
     dirs = rng.normal(size=(n, 3)).astype(np.float32)
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     origins = (np.array([64, 64, 40]) - dirs * 120).astype(np.float32)
     o, d = jnp.asarray(origins), jnp.asarray(dirs)
     cam = jnp.zeros(3, jnp.int32)
     base = trace_rays_paged(o, d, psc, cam, grid, interpret=True)
-    for slab, npp in ((512, 2), (256, 1)):
-        v = trace_rays_paged(o, d, psc, cam, grid, interpret=True,
-                             pool_slab=slab, pool_fanout=npp)
-        np.testing.assert_array_equal(np.asarray(base["hit"]),
-                                      np.asarray(v["hit"]))
-        np.testing.assert_allclose(np.asarray(base["t"]),
-                                   np.asarray(v["t"]), atol=1e-4)
-        assert not np.asarray(v["exhausted"]).any()
+    v = trace_rays_paged(o, d, psc, cam, grid, interpret=True,
+                         pool_slab=1024, pool_fanout=1)
+    np.testing.assert_array_equal(np.asarray(base["hit"]),
+                                  np.asarray(v["hit"]))
+    np.testing.assert_allclose(np.asarray(base["t"]),
+                               np.asarray(v["t"]), atol=1e-4)
+    assert not np.asarray(v["exhausted"]).any()
+    assert not np.asarray(base["exhausted"]).any()
