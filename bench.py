@@ -546,7 +546,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="1024^2x256 world instead of the full 4096^2x512")
-    ap.add_argument("--waves", type=int, default=1)
+    ap.add_argument("--waves", type=int, default=2)
     ap.add_argument("--skip-bwd", action="store_true")
     ap.add_argument("--xla-path", action="store_true",
                     help="benchmark the XLA lockstep traversal instead of "

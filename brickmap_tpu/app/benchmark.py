@@ -116,23 +116,30 @@ def run_forward_benchmark(scene, cfg: BrickmapConfig, *, waves_per_view: int = 2
         # Warm-up (compile once; shapes are identical across viewpoints).
         for i in range(warmup_waves):
             out = pathtrace.render_wave(jax.random.fold_in(key, 1000 + i),
-                                        scene, arrays, cam_brick, cfg, w, h)
+                                        scene, arrays, cam_brick, cfg, w, h,
+                                        retry_on_overflow=False)
             _sync(out[0])
 
-        total_rays = 0
-        total_exhausted = 0
+        # All timed waves issue back-to-back with ONE host sync at the end:
+        # a tunnel round-trip costs 25-200 ms (notes/PERF.md round 5) and a
+        # per-wave sync both serializes the dispatch pipeline and bills the
+        # tunnel's jitter to the render (the reference likewise never reads
+        # frames back mid-measurement).  retry_on_overflow=False keeps the
+        # waves sync-free; exhausted rays still FAIL the bench loudly below.
         timer.reset()
+        reqs = []
         t0 = time.perf_counter()
         for i in range(waves_per_view):
-            tw = time.perf_counter()
             rgb, count, req = pathtrace.render_wave(
                 jax.random.fold_in(key, i), scene, arrays, cam_brick, cfg,
-                w, h)
-            _sync(rgb)
-            timer.add(time.perf_counter() - tw)
-            total_rays += int(req["traced_rays"])
-            total_exhausted += int(req["exhausted_rays"])
+                w, h, retry_on_overflow=False)
+            reqs.append(req)
+        rays_dev = sum(r["traced_rays"] for r in reqs)
+        exh_dev = sum(r["exhausted_rays"] for r in reqs)
+        total_rays = int(np.asarray(rays_dev))   # forces every wave
         dt = time.perf_counter() - t0
+        total_exhausted = int(np.asarray(exh_dev))
+        timer.add(dt / waves_per_view)
 
         stats = timer.stats()
         mrays = total_rays / dt / 1e6

@@ -640,7 +640,7 @@ _tile_perm_cache: dict = {}
 
 
 def render_wave(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
-                width: int, height: int):
+                width: int, height: int, retry_on_overflow: bool = True):
     """Trace one full sample wave (1 spp for every pixel).
 
     Host-orchestrated like the reference's per-frame kernel launches
@@ -649,6 +649,14 @@ def render_wave(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
     small bounds remote-compile time; the bounce executable compiles once.
     Pixels are processed in square-tile order so traversal chunks stay
     ray-coherent; outputs are returned in row-major pixel order.
+
+    ``retry_on_overflow`` (default): pull the exhausted count and re-run
+    the wave with host-gated exact-bucket rescues if the static in-program
+    rescue bucket overflowed (>m/16 exhausted lanes in one stage — never
+    observed at the production config).  The pull is a tunnel round-trip
+    that serializes the dispatch pipeline; callers that already FAIL
+    loudly on any exhausted ray (the benchmark harness) pass False and
+    keep the wave entirely sync-free.
 
     Returns (delta_rgb [N,3], delta_count [N], requests dict) — add to a Film.
     """
@@ -663,11 +671,9 @@ def render_wave(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
                         pixel_order=perm_j)
     rgb, count, req = _bucketed_wave(k_loop, st, scene, cam_brick,
                                      camera_arrays["sun_direction"], cfg)
-    if int(np.asarray(req["exhausted_rays"])) > 0:
-        # The static in-program rescue bucket overflowed (>m/16 exhausted
-        # lanes in one stage — never observed at the production config).
-        # Re-run the wave with host-gated exact-bucket rescues; the same key
-        # reproduces the identical sample paths, now all resolved.
+    if retry_on_overflow and int(np.asarray(req["exhausted_rays"])) > 0:
+        # The same key reproduces the identical sample paths, now all
+        # resolved by exact-bucket host-gated rescues.
         rgb, count, req = _bucketed_wave(
             k_loop, st, scene, cam_brick, camera_arrays["sun_direction"],
             cfg, host_rescue=True)
