@@ -462,6 +462,70 @@ def _sparse_bwd_full_bench(cfg):
             "active_bricks": int(A)}
 
 
+def _streaming_bench(cfg):
+    """Cold-start streaming on the full world (the subsystem the reference
+    is named for, Scene.cpp:200-252): 12 waves at 960x540 from all-unloaded
+    residency, reporting Mrays/s during cap-saturated convergence and the
+    sustained process_requests upload rate.  The full 600-wave convergence
+    trajectory + locality invariant is recorded in notes/STREAMING_r5.md."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from brickmap_tpu import scene as scene_mod
+    from brickmap_tpu.config import BrickmapConfig, GridConfig, RenderConfig
+    from brickmap_tpu.app.benchmark import SUN_POSITION, TEST_ANGLES, \
+        TEST_POSITIONS
+    from brickmap_tpu.ops import sunsky as ss
+    from brickmap_tpu.render import pathtrace
+    from brickmap_tpu.render.camera import Camera
+    from brickmap_tpu.stream import StreamingScene
+
+    grid = GridConfig()
+    full_cfg = BrickmapConfig(
+        grid=grid, render=RenderConfig(width=960, height=540, max_bounces=3,
+                                       max_top_steps=2048))
+    sc = _load_world("full", full_cfg, scene_mod)
+    t0 = time.time()
+    mgr = StreamingScene(sc, grid, starting_capacity=256, paged=True)
+    _hb(f"streaming manager cold init in {time.time()-t0:.1f}s")
+    w, h = 960, 540
+    cam = Camera.from_angles(TEST_POSITIONS[0], *TEST_ANGLES[0])
+    sun = ss.sun_direction_from_position(jnp.asarray(SUN_POSITION))
+    arrays = pathtrace.camera_arrays_for(cam, sun, w, h)
+    cam_brick = jnp.asarray(cam.brick_position, jnp.int32)
+
+    waves = 12
+    uploads = 0
+    upload_s = 0.0
+    render_s = 0.0
+    rays = 0
+    for i in range(waves):
+        tw = time.perf_counter()
+        rgb, count, req = pathtrace.render_wave(
+            jax.random.PRNGKey(i), mgr.device_paged(), arrays, cam_brick,
+            full_cfg, w, h)
+        n_rays = int(np.asarray(req["traced_rays"]))   # sync
+        if i > 0:                     # wave 0 pays compiles/cold pipeline
+            render_s += time.perf_counter() - tw
+            rays += n_rays
+        # Upload half timed separately: the reference's per-frame CPU side
+        # (Scene::process_load_queue) — request pull + dedupe + slot
+        # assignment + the device scatters.
+        tu = time.perf_counter()
+        mask = np.asarray(req["mask"])
+        if mask.any():
+            uploads += mgr.process_requests(
+                map(tuple, np.asarray(req["pos"])[mask]))
+        upload_s += time.perf_counter() - tu
+    return {
+        "mrays_during_convergence": round(rays / render_s / 1e6, 3),
+        "bricks_uploaded": uploads,
+        "upload_bricks_per_s": round(uploads / max(upload_s, 1e-9), 0),
+        "waves": waves,
+    }
+
+
 def _pallas_brick_bench():
     """Config-1 class microbenchmark: the fused Pallas 8^3 brick-DDA kernel
     (the register-resident architecture the hierarchical kernel builds on)."""
@@ -510,6 +574,7 @@ AUX.update({
     "bwd": _bwd_bench,
     "sparse-bwd": _sparse_bwd_bench,
     "sparse-bwd-full": _sparse_bwd_full_bench,
+    "streaming": _streaming_bench,
     "brick": lambda cfg: _pallas_brick_bench(),
 })
 
@@ -617,6 +682,8 @@ def main() -> None:
 
     pallas_mrays = _run_aux("brick", timeout=900) \
         if _remaining() > 300 else None
+    streaming = _run_aux("streaming", timeout=900) \
+        if _remaining() > 300 else None
     fwd_bwd = None
     sparse_bwd = None
     sparse_bwd_full = None
@@ -651,6 +718,8 @@ def main() -> None:
         "sparse_full_cached_step_mrays_per_s": round(sbf["cached_step"], 3)
         if sbf.get("cached_step") else None,
         "sparse_full_active_bricks": sbf.get("active_bricks"),
+        # Cold-start streaming on the full world (see _streaming_bench).
+        "streaming": streaming if isinstance(streaming, dict) else None,
         "pallas_brick_mrays_per_s": round(pallas_mrays, 1)
         if pallas_mrays else None,
     })
