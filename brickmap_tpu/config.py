@@ -166,6 +166,8 @@ class RenderConfig:
     paged_pool_fanout: int = 2       # pool slabs (brick descends) per round
     paged_pool_slab: int = 512       # cells per voted pool DMA slab (pow2)
     paged_prefetch: bool = True      # cross-round double-buffered DMA
+    paged_tile_rows: int = 8         # sublanes per ray tile (8 or 16; 16 =
+    #   two-tile kernel state: one vote+DMA round serves 2048 lanes)
     # In-program rescue of budget-exhausted lanes (render.pathtrace):
     # rescue_passes - 1 medium-budget passes re-sort stragglers by their
     # current page (resume-from-t), then a final no-ray-exceeds-it pass.

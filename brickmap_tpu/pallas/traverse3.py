@@ -62,11 +62,13 @@ def _bcast_row(row128, rows: int = 8):
 
 def _arb1024(table, idx):
     """Arbitrary per-lane gather from an (8,128) register table; idx in
-    [0, 1024).  8 row-broadcast lane-gathers + select (~93 ns measured)."""
+    [0, 1024); output takes ``idx``'s (rows, 128) shape.  8 row-broadcast
+    lane-gathers + select (~93 ns measured per 1024 lanes)."""
     row, col = (idx >> 7) & 7, idx & 127
-    out = jnp.zeros((8, 128), table.dtype)
+    out = jnp.zeros(idx.shape, table.dtype)
     for r in range(8):
-        g = jnp.take_along_axis(_bcast_row(table[r]), col, axis=1)
+        g = jnp.take_along_axis(_bcast_row(table[r], idx.shape[0]), col,
+                                axis=1)
         out = jnp.where(row == r, g, out)
     return out
 
@@ -99,14 +101,15 @@ def _fetch_bricks_multi(poolT_s, slot, pslot, num_pages: int):
     poolT_s: sequence of NPP (64, 1024) bf16 registers holding the round's
     voted pool subpages — byte b of word k in row 4k+b (bytes are exact in
     bf16; bf16 x bf16 -> f32 is the MXU's native mode).
-    slot: (8, 128) i32 in-subpage cell index; pslot: (8, 128) i32 voted
+    slot: (R, 128) i32 in-subpage cell index; pslot: (R, 128) i32 voted
     subpage slot per lane (one-hot columns are masked per subpage and the
-    partial products accumulated — NPP x the single matmul cost, ~1.3 us).
+    partial products accumulated — NPP x the single matmul cost, ~1.3 us
+    per 8 sublanes).
     """
     ncells = poolT_s[0].shape[-1]
     cell_iota = jax.lax.broadcasted_iota(jnp.int32, (ncells, 128), 0)
     chunks = []
-    for s in range(8):
+    for s in range(slot.shape[0]):
         srow = jax.lax.broadcast_in_dim(slot[s], (ncells, 128), (1,))
         prow = jax.lax.broadcast_in_dim(pslot[s], (ncells, 128), (1,))
         acc = None
@@ -138,7 +141,7 @@ def _sel16(words, widx):
 def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                  phase_iters: int, transit_iters: int, pages_per_round: int,
                  pool_fanout: int, use_lod: bool, streaming: bool, nr4: int,
-                 prefetch: bool, pool_slab: int = 1024):
+                 prefetch: bool, pool_slab: int = 1024, tile_rows: int = 8):
     """Build the kernel body (static geometry baked in).
 
     ``prefetch``: cross-round double-buffered page/pool DMA (votes + copies
@@ -148,6 +151,7 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
     for hardware A/B (VERDICT r3 item 4: the prefetch shipped unmeasured).
     """
     i32, f32 = jnp.int32, jnp.float32
+    R = tile_rows                           # sublanes per ray tile (8 or 16)
     s = grid.supergrid_cell_size            # 16
     sx_pages = grid.supergrid_xy
     cx_max = cy_max = grid.cells
@@ -223,9 +227,9 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
             act = act & (~exited).astype(i32)
             return (px, py, pz, tx, ty, tz, axs, act, hit, subt, hcode)
 
-        init = (px, py, pz, tx, ty, tz, jnp.full((8, 128), -1, i32),
-                mask.astype(i32), jnp.zeros((8, 128), i32),
-                jnp.zeros((8, 128), f32), jnp.full((8, 128), -1, i32))
+        init = (px, py, pz, tx, ty, tz, jnp.full((R, 128), -1, i32),
+                mask.astype(i32), jnp.zeros((R, 128), i32),
+                jnp.zeros((R, 128), f32), jnp.full((R, 128), -1, i32))
         out = jax.lax.fori_loop(0, max_steps, body, init)
         return out[8], out[9], out[10]
 
@@ -266,15 +270,15 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
         d3 = (dx, dy, dz)
         sd3 = ((six, rdx, tdx), (siy, rdy, tdy), (siz, rdz, tdz))
 
-        zero_i = jnp.zeros((8, 128), i32)
-        zero_f = jnp.zeros((8, 128), f32)
+        zero_i = jnp.zeros((R, 128), i32)
+        zero_f = jnp.zeros((R, 128), f32)
 
         st = dict(
             rnd=jnp.int32(0),
             alive=alive.astype(i32),
             px=px, py=py, pz=pz, tx=tx, ty=ty, tz=tz,
-            axis0=jnp.full((8, 128), -1, i32),
-            ncode=jnp.full((8, 128), -1, i32),
+            axis0=jnp.full((R, 128), -1, i32),
+            ncode=jnp.full((R, 128), -1, i32),
             nd=zero_f,
             wanty=zero_i, wantb=zero_i, skip=zero_i,
             hit=zero_i, thit=zero_f, req=zero_i, reqpos=zero_i,
@@ -511,14 +515,14 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                 dist_regs.append(jnp.concatenate(rows, axis=0))
 
             def page_slot_of(sc):
-                slot = jnp.full((8, 128), -1, i32)
+                slot = jnp.full((R, 128), -1, i32)
                 for k in range(NP - 1, -1, -1):
                     slot = jnp.where(sc == page_ids[k], k, slot)
                 return slot
 
             def pool_slot_of(skey):
                 """Voted-subpage slot for per-lane keys sc*4 + (lin>>10)."""
-                slot = jnp.full((8, 128), -1, i32)
+                slot = jnp.full((R, 128), -1, i32)
                 for k in range(NPP - 1, -1, -1):
                     slot = jnp.where(skey == pool_ids[k], k, slot)
                 return slot
@@ -569,14 +573,14 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
                         mid = (~far) & (d2 > lod2)
                         near = ~far & ~mid
                     else:
-                        far = jnp.zeros((8, 128), bool)
+                        far = jnp.zeros((R, 128), bool)
                         mid = far
-                        near = jnp.ones((8, 128), bool)
+                        near = jnp.ones((R, 128), bool)
                     if streaming:
                         lw = _arb1024(loaded_tab, col)
                         is_loaded = ((lw >> (lin & 31)) & 1) != 0
                     else:
-                        is_loaded = jnp.ones((8, 128), bool)
+                        is_loaded = jnp.ones((R, 128), bool)
 
                     hit_far = occ0 & far
                     want_byte = occ0 & mid
@@ -780,7 +784,7 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
         req_ref[0] = st["req"]
         reqpos_ref[0] = st["reqpos"]
         exh_ref[0] = st["alive"]
-        rounds_ref[0] = jnp.full((8, 128), st["rnd"], i32)
+        rounds_ref[0] = jnp.full((R, 128), st["rnd"], i32)
         # Resume distance for budget-exhausted lanes: entry t (cell units)
         # of the cell the lane currently occupies.  The marched prefix is
         # known unoccupied, so a rescue re-trace can clip the ray forward to
@@ -798,31 +802,33 @@ def _make_kernel(grid: GridConfig, *, max_page_rounds: int, march_steps: int,
          static_argnames=("grid", "max_page_rounds", "march_steps",
                           "phase_iters", "transit_iters", "pages_per_round",
                           "pool_fanout", "use_lod", "streaming", "interpret",
-                          "prefetch", "pool_slab"))
+                          "prefetch", "pool_slab", "tile_rows"))
 def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
                 max_page_rounds: int, march_steps: int, phase_iters: int,
                 transit_iters: int, pages_per_round: int, pool_fanout: int,
                 use_lod: bool, streaming: bool, interpret: bool,
-                prefetch: bool, pool_slab: int = 1024):
+                prefetch: bool, pool_slab: int = 1024, tile_rows: int = 8):
     t_tiles = comps[0].shape[0]
+    R = tile_rows
     kernel = _make_kernel(grid, max_page_rounds=max_page_rounds,
                           march_steps=march_steps, phase_iters=phase_iters,
                           transit_iters=transit_iters,
                           pages_per_round=pages_per_round,
                           pool_fanout=pool_fanout, use_lod=use_lod,
                           streaming=streaming, nr4=scd.shape[0],
-                          prefetch=prefetch, pool_slab=pool_slab)
-    tile = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                          prefetch=prefetch, pool_slab=pool_slab,
+                          tile_rows=tile_rows)
+    tile = pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     out_sd = [
-        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # hit
-        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.float32),  # t (voxels)
-        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # ncode
-        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # request
-        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # reqpos
-        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # exhausted
-        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.int32),    # rounds
-        jax.ShapeDtypeStruct((t_tiles, 8, 128), jnp.float32),  # resume t
+        jax.ShapeDtypeStruct((t_tiles, R, 128), jnp.int32),    # hit
+        jax.ShapeDtypeStruct((t_tiles, R, 128), jnp.float32),  # t (voxels)
+        jax.ShapeDtypeStruct((t_tiles, R, 128), jnp.int32),    # ncode
+        jax.ShapeDtypeStruct((t_tiles, R, 128), jnp.int32),    # request
+        jax.ShapeDtypeStruct((t_tiles, R, 128), jnp.int32),    # reqpos
+        jax.ShapeDtypeStruct((t_tiles, R, 128), jnp.int32),    # exhausted
+        jax.ShapeDtypeStruct((t_tiles, R, 128), jnp.int32),    # rounds
+        jax.ShapeDtypeStruct((t_tiles, R, 128), jnp.float32),  # resume t
     ]
     return pl.pallas_call(
         kernel,
@@ -856,14 +862,15 @@ def _paged_call(cam, scd, meta, poolT, comps, grid: GridConfig,
          static_argnames=("grid", "max_page_rounds", "march_steps",
                           "phase_iters", "transit_iters", "pages_per_round",
                           "pool_fanout", "use_lod", "streaming", "interpret",
-                          "prefetch", "pool_slab"))
+                          "prefetch", "pool_slab", "tile_rows"))
 def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
                      grid: GridConfig, max_page_rounds: int = 96,
                      march_steps: int = 48, phase_iters: int = 2,
                      transit_iters: int = 2, pages_per_round: int = 4,
                      pool_fanout: int = 1, use_lod: bool = True,
                      streaming: bool = True, interpret: bool = False,
-                     prefetch: bool = True, pool_slab: int = 1024):
+                     prefetch: bool = True, pool_slab: int = 1024,
+                     tile_rows: int = 8):
     """Trace rays with the fused hierarchical kernel.
 
     Same contract/results as :func:`brickmap_tpu.ops.traverse.trace_rays`
@@ -875,14 +882,15 @@ def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
     n = origin.shape[0]
     ok, tminn, clipped, entry_normal = aabb_clip(origin, direction, grid)
 
-    pad = (-n) % LANES
-    t_tiles = (n + pad) // LANES
+    lanes = tile_rows * 128
+    pad = (-n) % lanes
+    t_tiles = (n + pad) // lanes
 
     def comp(a, k, fill=0.0):
         v = a[:, k].astype(jnp.float32)
         if pad:
             v = jnp.concatenate([v, jnp.full((pad,), fill, jnp.float32)])
-        return v.reshape(t_tiles, 8, 128)
+        return v.reshape(t_tiles, tile_rows, 128)
 
     o_cells = clipped / float(grid.brick_size)
     comps = [comp(o_cells, 0), comp(o_cells, 1), comp(o_cells, 2),
@@ -893,14 +901,14 @@ def trace_rays_paged(origin, direction, pscene, camera_brick_pos,
     act = ok.astype(jnp.int32)
     if pad:
         act = jnp.concatenate([act, jnp.zeros((pad,), jnp.int32)])
-    comps.append(act.reshape(t_tiles, 8, 128))
+    comps.append(act.reshape(t_tiles, tile_rows, 128))
 
     cam = jnp.asarray(camera_brick_pos, jnp.int32)
     hit, t, ncode, req, reqpos, exh, rounds, resume = _paged_call(
         cam, pscene.sc_dist, pscene.meta, pscene.poolT, tuple(comps), grid,
         max_page_rounds, march_steps, phase_iters, transit_iters,
         pages_per_round, pool_fanout, use_lod, streaming, interpret,
-        prefetch, pool_slab)
+        prefetch, pool_slab, tile_rows)
 
     def unpad(a):
         return a.reshape(-1)[:n]

@@ -164,6 +164,7 @@ def _trace(origins, dirs, scene, cam_brick, cfg: BrickmapConfig):
             pool_fanout=cfg.render.paged_pool_fanout,
             prefetch=cfg.render.paged_prefetch,
             pool_slab=cfg.render.paged_pool_slab,
+            tile_rows=cfg.render.paged_tile_rows,
             interpret=jax.devices()[0].platform == "cpu",
         )
     if scene.block_words is not None:

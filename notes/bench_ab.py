@@ -52,6 +52,10 @@ VARIANTS = {
     "p2": {"rescue_passes": 2},
     "r96p1": {"paged_rounds": 96, "rescue_passes": 1},
     "r96rr192": {"paged_rounds": 96, "rescue_rounds": 192},
+    # Round-5b: two-tile (16,128) kernel state — one vote+DMA round serves
+    # 2048 lanes (ROADMAP §1's last untried >20% candidate).
+    "tile16": {"paged_tile_rows": 16},
+    "tile16r256": {"paged_tile_rows": 16, "paged_rounds": 256},
 }
 
 

@@ -220,6 +220,33 @@ def test_paged_prefetch_modes_agree(multipage_scene, rng):
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), k)
 
 
+def test_tile_rows16_parity(multipage_scene, rng):
+    """tile_rows=16 (two-tile (16,128) kernel state) must be a pure
+    scheduling change: page votes are per-tile so ROUND counts differ, but
+    with an ample budget every ray's hit/t/normal/request must match the
+    default (8,128) tiling exactly."""
+    import jax
+
+    sc, psc_np = multipage_scene
+    psc = jax.tree.map(jnp.asarray, psc_np)
+    n = 96
+    origins = rng.uniform([5, 5, 100], [250, 250, 120], (n, 3)).astype(
+        np.float32)
+    directions = rng.normal(size=(n, 3)).astype(np.float32)
+    directions[:, 2] = -np.abs(directions[:, 2]) - 0.3
+    directions /= np.linalg.norm(directions, axis=1, keepdims=True)
+    a = trace_rays_paged(jnp.asarray(origins), jnp.asarray(directions), psc,
+                         jnp.asarray(CAM, jnp.int32), GRID4, interpret=True,
+                         tile_rows=8)
+    b = trace_rays_paged(jnp.asarray(origins), jnp.asarray(directions), psc,
+                         jnp.asarray(CAM, jnp.int32), GRID4, interpret=True,
+                         tile_rows=16)
+    assert not np.asarray(a["exhausted"]).any()
+    assert not np.asarray(b["exhausted"]).any()
+    for k in ("hit", "t", "normal", "request"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), k)
+
+
 def test_pool_slab_and_fanout_parity(box_scene, rng):
     """Non-default pool slab size / fanout must not change results — a vote
     key vs lookup key mismatch starves descends silently (round-5 bug:
