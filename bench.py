@@ -479,6 +479,7 @@ def _streaming_bench(cfg):
     from brickmap_tpu.ops import sunsky as ss
     from brickmap_tpu.render import pathtrace
     from brickmap_tpu.render.camera import Camera
+    from brickmap_tpu import stream as stream_mod
     from brickmap_tpu.stream import StreamingScene
 
     grid = GridConfig()
@@ -513,10 +514,9 @@ def _streaming_bench(cfg):
         # (Scene::process_load_queue) — request pull + dedupe + slot
         # assignment + the device scatters.
         tu = time.perf_counter()
-        mask = np.asarray(req["mask"])
-        if mask.any():
-            uploads += mgr.process_requests(
-                map(tuple, np.asarray(req["pos"])[mask]))
+        got = stream_mod.pull_requests(req, mgr.queue_size)
+        if got:
+            uploads += mgr.process_requests(got)
         upload_s += time.perf_counter() - tu
     return {
         "mrays_during_convergence": round(rays / render_s / 1e6, 3),

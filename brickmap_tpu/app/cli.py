@@ -214,10 +214,11 @@ def cmd_render(args) -> int:
                 # The per-frame CPU half of streaming (main.cpp:144 ->
                 # Scene::process_load_queue): service this wave's requests,
                 # then render against the updated residency next wave.
-                mask = np.asarray(req["mask"])
-                if mask.any():
-                    uploads = mgr.process_requests(
-                        map(tuple, np.asarray(req["pos"])[mask]))
+                from ..stream import pull_requests
+
+                got = pull_requests(req, mgr.queue_size)
+                if got:
+                    uploads = mgr.process_requests(got)
                     jsc = mgr.device_paged() if args.engine == "paged" \
                         else mgr.device_scene()
             metrics.log(wave_idx, wave_s=dt, traced=int(req["traced_rays"]),

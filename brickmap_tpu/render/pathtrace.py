@@ -720,9 +720,9 @@ def render_frame(key, scene, camera_arrays, cam_brick, cfg: BrickmapConfig,
         count_parts.append(count)
         traced += int(req["traced_rays"])
         exhausted += int(req["exhausted_rays"])
-        mask = np.asarray(req["mask"])
-        if mask.any():
-            reqs.extend(map(tuple, np.asarray(req["pos"])[mask]))
+        from ..stream import pull_requests
+
+        reqs.extend(pull_requests(req))
     return (jnp.concatenate(rgb_parts), jnp.concatenate(count_parts),
             traced, reqs, exhausted)
 

@@ -34,7 +34,55 @@ import numpy as np
 from . import bits, scene as scene_mod
 from .config import GridConfig
 
-__all__ = ["StreamingScene"]
+__all__ = ["StreamingScene", "pull_requests"]
+
+
+_compact_req_jit = None
+
+
+def compact_requests(mask, pos, cap: int):
+    """Device-compact a wave's streaming requests to <= ``cap`` rows.
+
+    The request mask/pos are ray-resolution arrays (a 1080p wave's pos is
+    ~24 MB); pulling them whole through the remote tunnel costs more than
+    every upload scatter combined (notes/probe_stream_cost.py: scatters
+    25-50 ms each, a 25 MB pull 0.3-0.4 s).  One gather program shrinks
+    the pull to ``cap`` rows (~KB).  Requests beyond cap are dropped this
+    wave and re-requested by later waves — the reference's queue-overflow
+    policy (voxel.cuh:237-240) at device granularity; ``cap`` should give
+    dedupe headroom over ``queue_size`` (duplicate brick coords from many
+    lanes collapse on the host).
+    """
+    global _compact_req_jit
+    if _compact_req_jit is None:
+        from functools import partial
+
+        import jax
+        import jax.numpy as jnp
+
+        @partial(jax.jit, static_argnames=("cap",))
+        def body(mask, pos, cap):
+            idx = jnp.nonzero(mask, size=cap, fill_value=0)[0]
+            total = jnp.sum(mask.astype(jnp.int32))
+            rows = jnp.take(pos, idx, axis=0)
+            valid = jnp.arange(cap, dtype=jnp.int32) \
+                < jnp.minimum(total, cap)
+            return total, rows, valid
+
+        _compact_req_jit = body
+    return _compact_req_jit(mask, pos, cap)
+
+
+def pull_requests(req, queue_size: int = 1024) -> list:
+    """Compacted (x, y, z) request tuples from a wave's ``req`` dict.
+
+    Replaces the ``np.asarray(req["pos"])[np.asarray(req["mask"])]``
+    full-array pull at every streaming call site (bench/CLI/chunked wave).
+    """
+    total, rows, valid = compact_requests(req["mask"], req["pos"],
+                                          4 * queue_size)
+    rows = np.asarray(rows)[np.asarray(valid)]
+    return [tuple(int(v) for v in r) for r in rows]
 
 
 _scatter_rows_jit = None

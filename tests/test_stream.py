@@ -307,3 +307,28 @@ def test_surface_only_invariant_reported(truth, rng):
     # reachable == air-surface and every load is an air-surface brick.
     assert s["loaded_surface"] == s["loaded_total"]
     assert s["surface_total"] < s["nonempty_total"]  # box has an interior
+
+
+def test_pull_requests_matches_full_pull(rng):
+    """Device-compacted request pull == the full mask/pos host pull, and the
+    overflow cap drops (not corrupts) the tail."""
+    from brickmap_tpu.stream import pull_requests
+
+    n = 8192
+    mask = rng.random(n) < 0.01
+    pos = rng.integers(0, 1000, (n, 3)).astype(np.int32)
+    req = {"mask": jnp.asarray(mask), "pos": jnp.asarray(pos)}
+    got = pull_requests(req, queue_size=1024)
+    want = [tuple(int(v) for v in r) for r in pos[mask]]
+    assert got == want
+
+    # Overflow: > 4*queue_size requests -> first cap rows, in lane order.
+    mask2 = np.ones(n, bool)
+    req2 = {"mask": jnp.asarray(mask2), "pos": jnp.asarray(pos)}
+    got2 = pull_requests(req2, queue_size=16)
+    assert len(got2) == 64
+    assert got2 == [tuple(int(v) for v in r) for r in pos[:64]]
+
+    # Empty mask -> empty list.
+    req3 = {"mask": jnp.zeros(n, bool), "pos": jnp.asarray(pos)}
+    assert pull_requests(req3, queue_size=1024) == []
