@@ -2,8 +2,10 @@
 
 Fuses the reference's entire per-thread traversal (``voxel.cuh:135-261``:
 top brick-grid DDA -> LoD pick -> 2x2x2 byte DDA -> 8x8x8 brick DDA, plus the
-streaming-request branch) into one TPU kernel over [8, 128] ray tiles, using
-the page-major scene layout of :mod:`brickmap_tpu.pallas.paged`.
+streaming-request branch) into one TPU kernel over [tile_rows, 128] ray tiles
+(8 sublanes by default; 16 = two native tiles per register was measured 4%
+slower end-to-end, notes/PERF.md round-5b), using the page-major scene
+layout of :mod:`brickmap_tpu.pallas.paged`.
 
 TPU mapping (costs measured on v5e, notes/PERF.md round 2):
 

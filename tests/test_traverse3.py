@@ -227,6 +227,10 @@ def test_tile_rows16_parity(multipage_scene, rng):
     default (8,128) tiling exactly."""
     import jax
 
+    # Late-suite XLA CPU compiles segfault when the process holds every
+    # earlier module's executables (see test_pool_slab_and_fanout_parity);
+    # this test compiles two fresh kernel variants, so drop caches first.
+    jax.clear_caches()
     sc, psc_np = multipage_scene
     psc = jax.tree.map(jnp.asarray, psc_np)
     n = 96
